@@ -1,0 +1,69 @@
+"""Crawl configuration.
+
+Defaults mirror the reference crawler's compiled-in constants and
+shipped configuration (src/types.h, src/global.cxx:157-163,
+larbin.conf), plus the round-model parameters that translate the
+1-second event-loop tick into batch crawl rounds (see
+docs/ROUND_MODEL.md for the mapping and its justification).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import List, Optional
+
+from .kernels.urlfilter import DEFAULT_FORBIDDEN_EXTENSIONS
+
+
+@dataclass
+class CrawlConfig:
+    # --- reference semantics constants ---
+    depth_in_site: int = 5          # global.cxx:159
+    wait_duration: int = 60         # global.cxx:158 (politeness seconds/IP)
+    max_urls_by_site: int = 64      # types.h:43 (per-site RAM fifo)
+    ram_urls: int = 100_000         # types.h:39 (global in-RAM budget)
+    hash_size: int = 64_000_000     # types.h:26 (seen-set buckets)
+    dup_size: int = 64_000_000      # types.h:31 (content-dup buckets)
+    named_site_list_size: int = 20_000  # types.h:35
+    ip_site_list_size: int = 10_000     # types.h:36
+    max_robots_item: int = 256      # types.h:61
+    max_page_size: int = 8 * 1024 * 1024  # types.h:53
+    user_agent: str = "larbin"      # global.cxx:160
+
+    # behavior flags (conf-file booleans, global.cxx:355-388)
+    external_links: bool = True     # noExternalLinks inverts
+    depth_by_site: bool = False
+    lock_site: bool = False
+    ignore_robots: bool = False
+    get_image: bool = False
+    get_cgi: bool = False
+    any_type: bool = False
+    page_no_duplicate: bool = False
+    specific_search: bool = False
+    punycode: bool = False
+    domains: Optional[List[str]] = None            # limitToDomain
+    forbidden_extensions: List[str] = field(
+        default_factory=lambda: list(DEFAULT_FORBIDDEN_EXTENSIONS))
+    privileged_exts: List[str] = field(default_factory=list)
+
+    # --- round model (1 round ~ one politeness window of
+    # wait_duration seconds; see docs/ROUND_MODEL.md) ---
+    seq_per_round: int = 6_000      # maxPerCall(100)/tick x wait_duration
+    fetch_per_ip_per_round: int = 1  # one url per IPSite per waitDuration
+    fetch_cap_per_round: int = 0     # 0 = unbounded (nb_conn is a latency
+                                     # cap, meaningless with simulated fetch)
+    dns_per_round: int = 0           # 0 = unbounded slot resolutions/round
+    valve_period: int = 5            # rounds; analogue of the 300s window
+    valve_open: int = 3              # first valve_open rounds of each period
+                                     # drain the wait queues (main.cxx:190-199)
+
+    # stop conditions (O-17)
+    max_rounds: int = 0              # 0 = until frontier empty
+    limit_page: int = 0              # 0 = unbounded successful pages
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CrawlConfig":
+        return cls(**d)
