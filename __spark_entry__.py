@@ -1,38 +1,367 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator inventory over the driver's
+parquet tables; oracle_sql() carries the bit-matching DuckDB SQL.
+Numeric aggregates are integer-ized (floor(x*scale+0.5)) or computed
+with identical sequential fold order on both engines so value-hash
+comparison is exact (no FP summation-order divergence).
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-way broadcast-join + aggregation (the crawl
+    pipeline's hosts/robots join pattern, O-22) at sf0.001."""
+    from larbin_spark.pipeline.relational import revenue_join
+    sf = "/root/testdata/sf0.001"
+    return revenue_join(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"), _t(spark, sf, "nation"),
+        _t(spark, sf, "region"))
 
+
+# ---------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from larbin_spark.pipeline import ann, dedup, relational, textstats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_sequencer(spark, sf):
+        return relational.sequencer_window(_t(spark, sf, "events"), 5)
+
+    def q_politeness(spark, sf):
+        return relational.politeness_heads(_t(spark, sf, "events"), 100)
+
+    def q_antijoin(spark, sf):
+        return relational.antijoin_dedup(_t(spark, sf, "customer"),
+                                         _t(spark, sf, "orders"))
+
+    def q_priority(spark, sf):
+        return relational.priority_dequeue(_t(spark, sf, "orders"), 100)
+
+    def q_merge(spark, sf):
+        return relational.frontier_merge(_t(spark, sf, "orders"))
+
+    def q_explode(spark, sf):
+        return relational.explode_tokens(_t(spark, sf, "documents"), 50)
+
+    def q_revenue(spark, sf):
+        return relational.revenue_join(
+            _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+            _t(spark, sf, "lineitem"), _t(spark, sf, "nation"),
+            _t(spark, sf, "region"))
+
+    def q_taxonomy(spark, sf):
+        return relational.error_taxonomy(_t(spark, sf, "events"))
+
+    def q_histogram(spark, sf):
+        return relational.size_histogram(_t(spark, sf, "documents"), 256)
+
+    def q_rate(spark, sf):
+        return relational.windowed_event_rate(_t(spark, sf, "events"))
+
+    def q_dedup_exact(spark, sf):
+        return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+    def q_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.4)
+
+    def q_minhash(spark, sf):
+        return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), 16, 4, 3)
+
+    def q_simhash(spark, sf):
+        return dedup.simhash64(_t(spark, sf, "documents"))
+
+    def q_langid(spark, sf):
+        return textstats.lang_id(_t(spark, sf, "documents"))
+
+    def q_quality(spark, sf):
+        return textstats.quality_score(_t(spark, sf, "documents"))
+
+    def q_tokens(spark, sf):
+        return textstats.token_counts(_t(spark, sf, "documents"))
+
+    def q_fingerprint(spark, sf):
+        return textstats.fingerprints(_t(spark, sf, "documents"), 16)
+
+    def q_ann(spark, sf):
+        return ann.brute_force_topk(_t(spark, sf, "embeddings"), 5, 10)
+
+    def q_ann_lsh(spark, sf):
+        return ann.lsh_topk(_t(spark, sf, "embeddings"), 5, 10, 8)
+
+    def q_neardup(spark, sf):
+        return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), 0.90)
+
+    def q_multimodal(spark, sf):
+        from larbin_spark.pipeline import multimodal
+        media = multimodal.make_media_table(spark, 64)
+        return (multimodal.extract_features(media, fake=True)
+                .select("media_id", "kind", "n_bytes", "digest")
+                .orderBy("media_id"))
+
+    return {
+        "crawl_sequencer_cap": q_sequencer,
+        "crawl_politeness_heads": q_politeness,
+        "crawl_seen_antijoin": q_antijoin,
+        "crawl_priority_dequeue": q_priority,
+        "crawl_frontier_merge": q_merge,
+        "crawl_explode_links": q_explode,
+        "crawl_dim_join_agg": q_revenue,
+        "crawl_error_taxonomy": q_taxonomy,
+        "crawl_size_histogram": q_histogram,
+        "crawl_event_rate": q_rate,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_jaccard,
+        "dedup_minhash_lsh": q_minhash,
+        "dedup_simhash": q_simhash,
+        "text_lang_id": q_langid,
+        "text_quality": q_quality,
+        "text_token_counts": q_tokens,
+        "text_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann,
+        "ann_lsh_topk": q_ann_lsh,
+        "dedup_embedding_neardup": q_neardup,
+        "multimodal_features": q_multimodal,   # no SQL oracle (binary UDF path)
+    }
+
+
+# ---------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------
+
+_SHINGLES_CTE = """
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS shingle,
+         lead(w,2) OVER win AS guard
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE guard IS NOT NULL)
+"""
+
+
+def _lsh_planes_sql() -> str:
+    """Inline the md5-derived hyperplane coefficients (identical to
+    larbin_spark.pipeline.ann.hyperplane_lsh_buckets)."""
+    terms = []
+    for p in range(8):
+        coeffs = []
+        for d in range(64):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            coeffs.append(repr((h - 0x7FFFFFFF) / float(0x7FFFFFFF)))
+        arr = "[" + ",".join(coeffs) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = {
+        "en": ["the", "and", "of", "to", "in"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "es": ["el", "la", "los", "que", "de"],
+        "zh": ["的", "是", "了", "在", "我"],
+    }
+
+    def count_tok(t):
+        n = f" {t} "
+        return (f"CAST((length(' '||text||' ') - "
+                f"length(replace(' '||text||' ', '{n}', ''))) / {len(n)} AS INTEGER)")
+
+    def score(lang):
+        return " + ".join(count_tok(t) for t in langs[lang])
+
+    score_cols = ", ".join(f"({score(l)}) AS s_{l}" for l in sorted(langs))
+    g = "greatest(" + ", ".join(f"s_{l}" for l in sorted(langs)) + ")"
+    pred = ("CASE " + " ".join(
+        f"WHEN s_{l} = {g} THEN '{l}'" for l in sorted(langs)) + " END")
+
+    stop_en = " + ".join(count_tok(t) for t in langs["en"])
+
+    cos = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+           "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+           "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))")
+
+    minhash_aggs = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(16))
+    band_rows = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"mh{b * 4 + r}" for r in range(4))
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+
+    th_digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}" for i in range(15))
+    sim_bits = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60))
+    sim_fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(60))
+
+    return {
+        "crawl_sequencer_cap": """
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS fifo_rank
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      FROM events)
+WHERE rn <= 5 ORDER BY user_id, fifo_rank""",
+        "crawl_politeness_heads": """
+SELECT bucket, event_id, user_id
+FROM (SELECT user_id % 100 AS bucket, event_id, user_id,
+             row_number() OVER (PARTITION BY user_id % 100
+                                ORDER BY ts, event_id) rn
+      FROM events)
+WHERE rn = 1 ORDER BY bucket""",
+        "crawl_seen_antijoin": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""",
+        "crawl_priority_dequeue": """
+SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 100""",
+        "crawl_frontier_merge": """
+WITH u AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+SELECT o_custkey % 64 AS bucket, min(o_orderkey) AS first_key,
+       count(*) AS n_candidates
+FROM u GROUP BY 1 ORDER BY bucket""",
+        "crawl_explode_links": """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) >= 50 ORDER BY token""",
+        "crawl_dim_join_agg": """
+SELECT r_name, n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+        "crawl_error_taxonomy": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "crawl_size_histogram": """
+SELECT CAST(floor(n_chars / 256.0) AS BIGINT) AS size_bucket, count(*) AS n
+FROM documents GROUP BY 1 ORDER BY size_bucket""",
+        "crawl_event_rate": """
+SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n,
+       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+FROM events GROUP BY 1, 2 ORDER BY minute, event_type""",
+        "dedup_exact": """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY digest""",
+        "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.4
+ORDER BY id_a, id_b""",
+        "dedup_minhash_lsh": f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+banded AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b""",
+        "dedup_simhash": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id, CAST({th_digits} AS BIGINT) AS th FROM tok),
+agg AS (SELECT doc_id, {sim_bits} FROM h GROUP BY doc_id)
+SELECT doc_id, {sim_fp} AS simhash FROM agg ORDER BY doc_id""",
+        "text_lang_id": f"""
+SELECT doc_id, lang, pred_lang, pred_score FROM (
+  SELECT doc_id, lang, {score_cols}, text FROM documents) t,
+LATERAL (SELECT {pred} AS pred_lang, CAST({g} AS INTEGER) AS pred_score)
+ORDER BY doc_id""",
+        "text_quality": f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       round(length(text) / len(string_split(text, ' ')), 4)
+         AS mean_token_len,
+       round(({stop_en}) / len(string_split(text, ' ')), 4)
+         AS stopword_ratio,
+       round(CASE WHEN len(string_split(text, ' ')) < 5 THEN 0.0
+             ELSE least(1.0, len(string_split(text, ' ')) / 200.0) * 0.5
+                  + least(1.0, (({stop_en}) /
+                                len(string_split(text, ' '))) * 5) * 0.5
+             END, 4) AS quality
+FROM documents ORDER BY doc_id""",
+        "text_token_counts": """
+SELECT source,
+       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS ws_tokens,
+       sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source""",
+        "text_fingerprint": """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents ORDER BY doc_id""",
+        "ann_cosine_topk": f"""
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5)
+WHERE rank <= 10 ORDER BY query_id, rank""",
+        "ann_lsh_topk": f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({_lsh_planes_sql()} AS INTEGER) AS bucket
+  FROM embeddings)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5)
+WHERE rank <= 10 ORDER BY query_id, rank""",
+        "dedup_embedding_neardup": f"""
+SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
+WHERE cos >= 0.90 ORDER BY id_a, id_b""",
+    }

@@ -41,6 +41,20 @@ def clean_link_text(raw: str, get_cgi: bool) -> Optional[str]:
     return "".join(out)
 
 
+def clean_redirect_text(raw: str, get_cgi: bool) -> Optional[str]:
+    """parseHeader30X location scan (file.cxx:541-556): stops at
+    space/newline/CR; a CGI-char terminator (when getCGI is off)
+    skips the redirect entirely."""
+    out = []
+    for ch in raw:
+        if ch in " \n\r":
+            return "".join(out)
+        if ch in _CGI_CHARS and not get_cgi:
+            return None
+        out.append(ch)
+    return "".join(out)
+
+
 def rebase(base_text: str, get_cgi: bool) -> Optional[ParsedUrl] | bool:
     """<base href> handling (file.cxx:766-791).
 

@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..config import CrawlConfig
 from ..kernels.hashes import content_hash, ip_hash, site_hash, url_hash
-from ..kernels.links import extract_links, render_content
+from ..kernels.links import clean_redirect_text, extract_links, render_content
 from ..kernels.robots import is_allowed, parse_robots
 from ..kernels.urlfilter import filter1, match_priv_ext
 from ..kernels.urlnorm import ParsedUrl, give_base, parse_url, punycode_host
@@ -393,7 +393,12 @@ class CrawlOracle:
         cfg = self.cfg
         for item, is_redir in links:
             if isinstance(item, str):
-                u = parse_url(item, page.depth, give_base(page)) if is_redir else None
+                if not is_redir:
+                    u = None
+                else:
+                    cleaned = clean_redirect_text(item, cfg.get_cgi)
+                    u = (parse_url(cleaned, page.depth, give_base(page))
+                         if cleaned else None)
             else:
                 u = item
             if u is None:

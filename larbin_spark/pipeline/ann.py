@@ -1,0 +1,99 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Brute-force cosine top-k as the exactness baseline, plus an
+LSH-bucketed variant (random-hyperplane signs derived from md5, so
+both engines compute identical buckets) as the scale path: at 100 TB
+the crossJoin is impossible, but hyperplane-LSH buckets shuffle
+uniformly and candidate verification touches only same-bucket pairs.
+
+All arithmetic in double precision inside the JVM (F.aggregate /
+F.zip_with — no Python in the hot path), rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str):
+    """JVM-side cosine via zip_with + aggregate (whole-stage codegen;
+    no UDF)."""
+    ac = F.transform(F.col(a), lambda x: x.cast("double"))
+    bc = F.transform(F.col(b), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ac, bc, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ac, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bc, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
+                     k: int = 10) -> DataFrame:
+    """Top-k cosine neighbors of the first n_queries vectors (by
+    vec_id) against the whole table."""
+    q = (embeddings.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("c_emb"))
+    pairs = (F.broadcast(q).crossJoin(c)
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    pairs = pairs.withColumn("cos", F.round(cosine_expr("q_emb", "c_emb"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos")
+            .orderBy("query_id", "rank"))
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
+                           dim: int = 64) -> DataFrame:
+    """Sign-LSH bucket per vector: plane p's pseudo-random coefficient
+    for dimension d is derived from md5(f"{p}:{d}") -> first 8 hex
+    chars -> uint32 -> centered. Pure column arithmetic, portable."""
+    import hashlib
+    planes = []
+    for p in range(n_planes):
+        coeffs = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            coeffs.append((h - 0x7FFFFFFF) / float(0x7FFFFFFF))
+        planes.append(coeffs)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bits = []
+    for p, coeffs in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in coeffs])
+        dot = F.aggregate(F.zip_with(emb, arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+             n_planes: int = 8) -> DataFrame:
+    """ANN top-k restricted to same-LSH-bucket candidates: the
+    shuffle is by bucket (uniform), never all-pairs."""
+    dim = 64
+    b = hyperplane_lsh_buckets(embeddings, n_planes, dim)
+    e = embeddings.join(b, "vec_id")
+    q = (e.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "bucket"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"), "bucket")
+    pairs = (q.join(c, "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    pairs = pairs.withColumn("cos", F.round(cosine_expr("q_emb", "c_emb"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos")
+            .orderBy("query_id", "rank"))

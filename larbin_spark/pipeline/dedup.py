@@ -1,0 +1,147 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. All hashing is md5-based so the Spark
+plans and the DuckDB oracles agree bit-for-bit (md5 is identical
+everywhere; signatures are compared as hex strings to avoid
+float/int conversion divergence).
+
+Scale notes (100 TB thinking):
+- exact dedup: map-side partial agg on the digest, one shuffle.
+- ngram jaccard: the shingle self-join explodes quadratically on
+  common shingles; cap df per shingle (stop-shingle removal) like
+  the band-bucket cap in LSH.
+- minhash LSH: bands shuffle by (band, band_key) which is uniform by
+  construction; candidate verification re-joins only candidate pairs.
+- simhash: one pass token->bit contributions, then a groupBy doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " "))
+        .alias("pos0", "w")).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+
+
+def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """k-word shingles via lead() windows (positions are 1-based to
+    match DuckDB generate_subscripts)."""
+    tok = _tokens(documents)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id", "pos",
+        F.concat_ws(" ", F.col("w"),
+                    F.lead("w", 1).over(w),
+                    F.lead("w", 2).over(w)).alias("shingle"),
+        F.lead("w", 2).over(w).alias("_guard"))
+    return sh.filter(F.col("_guard").isNotNull()).drop("_guard")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup on the md5 of the text: keep min doc_id per digest."""
+    d = documents.select(
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("digest"), "doc_id")
+    return (d.groupBy("digest")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups"))
+            .filter(F.col("n_dups") >= 1)
+            .orderBy("digest"))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
+                        threshold: float = 0.4) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via distinct-shingle
+    self-join (exact, the oracle for MinHash)."""
+    sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (inter.join(sa, "id_a").join(sb, "id_b")
+         .withColumn("jaccard",
+                     F.round(F.col("inter")
+                             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                             6)))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
+                       k: int = 3) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(i || '|' || shingle))
+    as a hex string — portable, deterministic, no numeric conversion."""
+    sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
+    aggs = [F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("shingle")),
+                                 "utf-8"))).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(documents: DataFrame, n_hashes: int = 16,
+                           bands: int = 4, k: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (the scale path: shuffles on uniform band keys,
+    never all-pairs)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(documents, n_hashes, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.encode(F.concat_ws("|", *cols),
+                                                 "utf-8")).alias("key")))
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "key")
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+            .orderBy("id_a", "id_b"))
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from md5 token hashes: bit j of the
+    fingerprint is 1 iff sum over tokens of (+1 if token-hash bit j
+    else -1) > 0. Token hash = first 16 hex chars of md5(token)."""
+    tok = (_tokens(documents)
+           .select("doc_id", F.col("w").alias("token")))
+    h = tok.withColumn(
+        "th", F.conv(F.substring(F.md5(F.encode("token", "utf-8")), 1, 15),
+                     16, 10).cast("long"))
+    bits = [F.sum(F.when((F.shiftright(F.col("th"), j) % 2) == 1, 1)
+                  .otherwise(-1)).alias(f"b{j}") for j in range(60)]
+    agg = h.groupBy("doc_id").agg(*bits)
+    fp = None
+    for j in range(60):
+        term = F.when(F.col(f"b{j}") > 0,
+                      F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; the ANN module
+    has the LSH-bucketed scale path). Double-precision arithmetic,
+    rounded, so the DuckDB oracle agrees."""
+    from .ann import cosine_expr
+    a = embeddings.select(F.col("vec_id").alias("id_a"),
+                          F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"),
+                          F.col("embedding").alias("emb_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn("cos", cosine_expr("emb_a", "emb_b"))
+    return (pairs.filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+            .orderBy("id_a", "id_b"))

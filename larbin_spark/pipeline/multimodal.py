@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Media payloads (image/audio/video) are opaque `binary` columns with a
+typed metadata struct, processed by Arrow-batched mapInPandas stages.
+The decode kernels themselves are STUBBED (no image/audio libraries
+in this container): `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder (seeded by
+the content digest) produces stable shapes/features — so the
+Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+is real and tested end-to-end while the codec is swappable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("payload", T.BinaryType()),    # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def decode_image(payload: bytes, fake: bool = False) -> List[float]:
+    """Decode + feature-extract one image. STUB: real decoding needs
+    an imaging library not present in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library; run with "
+            "fake=True for the deterministic test decoder")
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/benches."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (i % 5 + 1)
+        rows.append((f"m{i:04d}", kind, bytearray(payload),
+                     (f"{kind}/x-fake", 64 + i % 128, 64 + (i * 7) % 128,
+                      1000 * (i % 30))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256,
+                     fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. The
+    repartition keys on media_id so one oversized asset cannot skew a
+    task; Arrow moves the binary batches, no per-row Python UDF."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                feat = decode_image(payload, fake=fake)
+                out.append((row.media_id, row.kind, len(payload),
+                            hashlib.md5(payload).hexdigest(), feat))
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA])
+
+    return (media.repartition("media_id")
+            .mapInPandas(gen, FEATURES_SCHEMA))
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling plan: explode sample timestamps from the
+    metadata duration (pure column ops; the decode of each frame is
+    the stubbed kernel above)."""
+    n_frames = F.greatest(F.lit(1),
+                          (F.col("meta.duration_ms") / every_ms).cast("int"))
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", F.explode(F.sequence(
+                F.lit(0), n_frames - 1)).alias("frame_idx"))
+            .withColumn("ts_ms", F.col("frame_idx") * every_ms))

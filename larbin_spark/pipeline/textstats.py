@@ -1,0 +1,101 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is pure column arithmetic (JVM-side, whole-stage codegen)
+with exact DuckDB oracles; scores are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stopword lists per language for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _count_token(text_col, token: str):
+    """Occurrences of ' token ' in ' '||text||' ' — portable as
+    (len(x) - len(replace(x, t, ''))) / len(t)."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    needle = f" {token} "
+    return ((F.length(padded)
+             - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("int")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-ratio language scorer: predicted lang = argmax of
+    per-language stopword hit counts (deterministic tie-break by
+    language code)."""
+    text = F.col("text")
+    scores = {lang: sum((_count_token(text, t) for t in toks[1:]),
+                        _count_token(text, toks[0]))
+              for lang, toks in LANG_STOPWORDS.items()}
+    # argmax with lexicographic tie-break: compare tuples via struct
+    best = None
+    for lang in sorted(scores):  # sorted => ties resolve to first code
+        cand_score = scores[lang]
+        if best is None:
+            best = (F.lit(lang), cand_score)
+        else:
+            take = cand_score > best[1]
+            best = (F.when(take, F.lit(lang)).otherwise(best[0]),
+                    F.when(take, cand_score).otherwise(best[1]))
+    return documents.select(
+        "doc_id", "lang",
+        best[0].alias("pred_lang"),
+        best[1].cast("int").alias("pred_score")).orderBy("doc_id")
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality features
+    plus a composite score (the badType/tooBig gating analogue for
+    training-data filtering)."""
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " "))
+    n_chars = F.length(text)
+    mean_tok = n_chars / n_tokens
+    stop_hits = sum((_count_token(text, t)
+                     for t in LANG_STOPWORDS["en"][1:]),
+                    _count_token(text, LANG_STOPWORDS["en"][0]))
+    stop_ratio = stop_hits / n_tokens
+    score = (F.when(n_tokens < 5, 0.0)
+             .otherwise(F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
+                        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality")).orderBy("doc_id")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish subword-count estimate per source: the
+    subword estimate counts 4-char chunks (ceil(len/4)) like a
+    byte-pair budget."""
+    n_ws = F.size(F.split(F.col("text"), " "))
+    n_bpe = F.ceil(F.length(F.col("text")) / 4)
+    return (documents.groupBy("source")
+            .agg(F.sum(n_ws).alias("ws_tokens"),
+                 F.sum(n_bpe).alias("bpe_tokens"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("source"))
+
+
+def fingerprints(documents: DataFrame, prefix_len: int = 16) -> DataFrame:
+    """Document fingerprint: md5 prefix of the normalized text
+    (lowercased, space-collapsed) — the batch analogue of the
+    reference's rolling content hash (hash_duplicate.cxx)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.substring(F.md5(F.encode(norm, "utf-8")), 1, prefix_len)
+        .alias("fingerprint")).orderBy("doc_id")

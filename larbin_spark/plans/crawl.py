@@ -1,0 +1,83 @@
+"""Multi-round crawl driver: stop conditions, snapshots, resume (O-16/O-17)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..sources.catalog import SnapshotStore
+from .round import RoundRunner
+from .state import CrawlState
+
+
+def run_crawl(spark: SparkSession, cfg: CrawlConfig,
+              dims: Dict[str, DataFrame], seeds: List[str],
+              max_rounds: int = 10 ** 9,
+              store: Optional[SnapshotStore] = None,
+              checkpoint_every: int = 10,
+              resume: bool = False) -> CrawlState:
+    """Run rounds until the frontier drains or a limit hits
+    (main.cxx:184-185: frontier-empty termination; limit_page /
+    max_rounds are the limitPage/limitTime analogues)."""
+    runner = RoundRunner(spark, cfg, dims)
+
+    rnd = 0
+    if resume and store is not None and store.latest() is not None:
+        last = store.latest()
+        st = CrawlState.load(spark, store, last)
+        rnd = st.counters["round"]
+    else:
+        st = CrawlState.empty(spark)
+        st = runner.seed(st, seeds)
+        if store is not None:
+            st.save(store, -1 + 0)  # bootstrap snapshot (round 0 not yet run)
+
+    while rnd < max_rounds:
+        if cfg.max_rounds and rnd >= cfg.max_rounds:
+            break
+        if cfg.limit_page and st.counters["pages_ok"] >= cfg.limit_page:
+            break
+        frontier_size = (st.queues.count() + st.site_fifo.count()
+                         + st.ip_queue.count())
+        if frontier_size == 0:
+            break
+        st = runner.run_round(st, rnd)
+        rnd += 1
+        if store is not None and rnd % checkpoint_every == 0:
+            st.save(store, rnd)
+    if store is not None:
+        st.save(store, rnd)
+    return st
+
+
+def collect_results(st: CrawlState) -> dict:
+    """Oracle-comparable result dict (tests only: bounded collects)."""
+    ordering = [(r["round"], r["fetch_seq"], r["url"])
+                for r in st.ordering.orderBy("fetch_seq").collect()]
+    seen = sorted(r["bucket"] for r in st.seen.collect())
+    fetch_log = sorted((r["round"], r["url"], r["error"])
+                       for r in st.fetch_log.collect())
+    errors: Dict[str, int] = {}
+    for r in (st.fetch_log.groupBy("error").agg(F.count("*").alias("n"))
+              .collect()):
+        errors[r["error"]] = errors.get(r["error"], 0) + r["n"]
+    # gate errors (tooDeep/outSite/fast*/urlDup) live in metrics only
+    for r in (st.metrics.filter(F.col("error").isin(
+            "tooDeep", "outSite", "fastNoDns", "fastNoConn", "fastRobots",
+            "urlDup")).groupBy("error").agg(F.sum("n").alias("n")).collect()):
+        errors[r["error"]] = errors.get(r["error"], 0) + r["n"]
+    emitted = [(r["round"], r["fetch_seq"], r["doc_id"])
+               for r in st.tables["docs_out"].orderBy("fetch_seq").collect()] \
+        if "docs_out" in st.tables else []
+    return {
+        "rounds": st.counters["round"],
+        "ordering": ordering,
+        "seen": seen,
+        "errors": dict(sorted(errors.items())),
+        "fetch_log": fetch_log,
+        "emitted": emitted,
+        "pages_ok": st.counters["pages_ok"],
+    }

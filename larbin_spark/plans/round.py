@@ -1,0 +1,758 @@
+"""One crawl round as a batch DataFrame job (docs/ROUND_MODEL.md).
+
+Phase map (the oracle simulator is the executable spec):
+  A valve        -> driver counter arithmetic (main.cxx:190-199)
+  B sequencer    -> ordered global take (TopK) + applyInPandas slot
+                    routing over slot_id groups (sequencer.cxx,
+                    site.cxx:136-207)
+  C dns+robots   -> broadcast joins against hosts/robots dims +
+                    applyInPandas fifo scans (site.cxx:212-496)
+  D politeness   -> window row_number per ip_hash bucket
+                    (site.cxx:572-644)
+  E fetch+parse  -> broadcast join against documents + mapInPandas
+                    span link extraction + columnar gates + seen
+                    anti-join (file.cxx, checker.cxx)
+  F commit       -> localCheckpoint per state table; durable snapshot
+                    at the crawl driver's checkpoint cadence
+
+Determinism: every sequence number is a row_number over an explicit
+total order (qseq / take_rank / fifo_pos / transfer_seq /
+(fetch_seq, link_idx)); nothing depends on partitioning. The global
+row_number windows run on already-budget-limited sets (<= sequencer
+budget / <= #ip buckets), so the single-partition window is bounded,
+not a scalability hole; the heavy stages (slot routing, link
+extraction, seen anti-join) shuffle on slot_id / bucket and scale
+out.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from ..functions.udfs import (
+    content_bucket_udf, filter1_udf, ip_hash_udf, parse_robots_udf,
+    robots_allowed_udf, site_hash_udf, url_bucket_udf,
+)
+from ..kernels.links import clean_redirect_text, extract_links
+from ..kernels.urlnorm import ParsedUrl, give_base, parse_url, punycode_host
+from ..operators import slot_logic
+from .state import (
+    CrawlState, IP_QUEUE_SCHEMA, QUEUE_SCHEMA, SITE_FIFO_SCHEMA,
+    SLOTS_SCHEMA,
+)
+
+ROUTED_SCHEMA = T.StructType(
+    [f for f in QUEUE_SCHEMA if f.name != "queue"] + [
+        T.StructField("slot_id", T.IntegerType()),
+        T.StructField("take_rank", T.LongType()),
+        T.StructField("cls", T.StringType()),
+        T.StructField("s_ip_hash", T.IntegerType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("err", T.StringType()),
+    ])
+
+RESOLVED_SCHEMA = T.StructType(
+    list(SITE_FIFO_SCHEMA) + [
+        T.StructField("dns_queue_pos", T.LongType()),
+        T.StructField("new_ip_hash", T.IntegerType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("err", T.StringType()),
+    ])
+
+LINKS_SCHEMA = T.StructType([
+    T.StructField("fetch_seq", T.LongType()),
+    T.StructField("link_idx", T.IntegerType()),
+    T.StructField("l_url", T.StringType()),
+    T.StructField("l_host", T.StringType()),
+    T.StructField("l_port", T.IntegerType()),
+    T.StructField("l_path", T.StringType()),
+    T.StructField("l_depth", T.IntegerType()),
+    T.StructField("is_redir", T.BooleanType()),
+    T.StructField("parent_host", T.StringType()),
+])
+
+
+def _puny_col(cfg: CrawlConfig, host_col):
+    if not cfg.punycode:
+        return host_col
+
+    @F.pandas_udf(T.StringType())
+    def puny_udf(h: pd.Series) -> pd.Series:
+        return pd.Series([punycode_host(x) for x in h])
+
+    return puny_udf(host_col)
+
+
+_STATE_PARTITIONS = 8
+
+
+def _lc(df: DataFrame, parts: int = _STATE_PARTITIONS) -> DataFrame:
+    """Materialize + truncate lineage (in-memory commit; durable
+    commits happen at the snapshot cadence).
+
+    The coalesce is load-bearing: per-round unionByName would
+    otherwise grow the partition count without bound (every round
+    appends the delta's partitions), drowning later rounds in empty
+    tasks. State tables stay at a fixed partition count; at cluster
+    scale this constant is sized to the executor count."""
+    return df.coalesce(parts).localCheckpoint(eager=True)
+
+
+def _defaults_for_new_slots(df: DataFrame) -> DataFrame:
+    return df.select(
+        "slot_id", F.lit("").alias("name"), F.lit(0).alias("port"),
+        F.lit(slot_logic.WAIT_DNS).alias("dns_state"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("forbidden"),
+        F.lit(0).alias("nburls"),
+        F.lit(None).cast(T.LongType()).alias("dns_queue_pos"),
+        F.lit(-1).alias("dns_expire_round"), F.lit(0).alias("ip_hash"))
+
+
+class RoundRunner:
+    """Executes crawl rounds against dimension tables.
+
+    dims: documents(doc_id, spans, status, redirect_to, content_type,
+    length), hosts(host, dns_ok, ip), robots(host, status, body,
+    reachable) — the synthetic-web / simulated-network inputs.
+    """
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig,
+                 dims: Dict[str, DataFrame]):
+        self.spark = spark
+        self.cfg = cfg
+        self.dims = dims
+        self.expire_rounds = max(1, (2 * 24 * 3600) // max(1, cfg.wait_duration))
+
+    # ---------------- seeding ----------------
+
+    def seed(self, st: CrawlState, seed_urls) -> CrawlState:
+        """O-1: parse seeds in order, dedup, enqueue (global.cxx:284-297)."""
+        cfg = self.cfg
+        rows = []
+        seen_new = []
+        seen_set = set()  # seeds are few; existing seen is empty at bootstrap
+        from ..kernels.hashes import url_hash
+        from ..kernels.urlfilter import match_priv_ext
+        n_dup_seeds = 0
+        for raw in seed_urls:
+            u = parse_url(raw, cfg.depth_in_site, None)
+            if u is None:
+                continue
+            b = url_hash(u.host, u.port, u.path, cfg.hash_size)
+            if b in seen_set:
+                n_dup_seeds += 1  # check() counts urlDup (checker.cxx:61)
+                continue
+            seen_set.add(b)
+            seen_new.append((b,))
+            queue = ("priority" if cfg.specific_search and cfg.privileged_exts
+                     and match_priv_ext(u.path, cfg.privileged_exts) else "disk")
+            rows.append((u.url, u.host, u.port, u.path, u.depth,
+                         st.counters["qseq_next"] + len(rows), queue))
+        st.counters["qseq_next"] += len(rows)
+        spark = self.spark
+        from .state import SEEN_SCHEMA
+        st.tables["queues"] = st.queues.unionByName(
+            spark.createDataFrame(rows, QUEUE_SCHEMA))
+        st.tables["seen"] = st.seen.unionByName(
+            spark.createDataFrame(seen_new, SEEN_SCHEMA))
+        if n_dup_seeds:
+            from .state import METRICS_SCHEMA
+            st.tables["metrics"] = st.metrics.unionByName(
+                spark.createDataFrame(
+                    [(0, 0, "urlDup", n_dup_seeds)], METRICS_SCHEMA))
+        return st
+
+    # ---------------- the round ----------------
+
+    def run_round(self, st: CrawlState, rnd: int) -> CrawlState:
+        spark, cfg = self.spark, self.cfg
+        C = st.counters
+        cfg_b = {"max_urls_by_site": cfg.max_urls_by_site,
+                 "ignore_robots": cfg.ignore_robots}
+
+        # ---------- phase A: wait valve ----------
+        if rnd % cfg.valve_period == 0:
+            qc = {r["queue"]: r["n"] for r in
+                  st.queues.groupBy("queue").agg(F.count("*").alias("n")).collect()}
+            C["read_pw"] = qc.get("priority_wait", 0)
+            C["read_w"] = qc.get("disk_wait", 0)
+        if rnd % cfg.valve_period == cfg.valve_open:
+            C["read_pw"] = 0
+            C["read_w"] = 0
+
+        # ---------- phase B: sequencer ----------
+        ram_used = st.slots.agg(
+            F.coalesce(F.sum("nburls"), F.lit(0))).collect()[0][0]
+        still = min(cfg.seq_per_round, max(0, cfg.ram_urls - int(ram_used)))
+
+        wq = Window.partitionBy("queue").orderBy("qseq")
+        q = st.queues.withColumn("rn", F.row_number().over(wq))
+        eligible = q.filter(
+            (F.col("queue") == "priority")
+            | (F.col("queue") == "disk")
+            | ((F.col("queue") == "priority_wait") & (F.col("rn") <= C["read_pw"]))
+            | ((F.col("queue") == "disk_wait") & (F.col("rn") <= C["read_w"])))
+        cls_order = (F.when(F.col("queue") == "priority_wait", 0)
+                      .when(F.col("queue") == "priority", 1)
+                      .when(F.col("queue") == "disk_wait", 2).otherwise(3))
+        take = (eligible.withColumn("cls_order", cls_order)
+                .orderBy("cls_order", "qseq").limit(still))
+        take = take.withColumn(
+            "take_rank",
+            F.row_number().over(Window.orderBy("cls_order", "qseq")) - 1
+            + F.lit(C["take_next"]))
+        take = (take.withColumnRenamed("queue", "cls")
+                .withColumn("slot_id", site_hash_udf("host"))
+                .withColumn("puny", _puny_col(cfg, F.col("host"))))
+
+        slots_pref = st.slots.select(
+            "slot_id", F.col("name").alias("s_name"),
+            F.col("port").alias("s_port"),
+            F.col("dns_state").alias("s_dns_state"),
+            F.col("forbidden").alias("s_forbidden"),
+            F.col("nburls").alias("s_nburls"),
+            F.col("dns_expire_round").alias("s_dns_expire_round"),
+            F.col("ip_hash").alias("s_ip_hash"))
+        take = take.join(F.broadcast(slots_pref), "slot_id", "left")
+
+        def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("take_rank").reset_index(drop=True)
+            first = pdf.iloc[0]
+
+            def _scalar(v, default):
+                try:
+                    return default if v is None or pd.isna(v) else v
+                except (TypeError, ValueError):  # array-valued cell
+                    return v
+            slot = {
+                "name": _scalar(first["s_name"], ""),
+                "port": _scalar(first["s_port"], 0),
+                "dns_state": _scalar(first["s_dns_state"], None),
+                "forbidden": (None if first["s_forbidden"] is None
+                              else list(first["s_forbidden"])),
+                "nburls": _scalar(first["s_nburls"], 0),
+                "dns_expire_round": _scalar(first["s_dns_expire_round"], None),
+            }
+            rows = pdf[["host", "port", "path", "puny", "cls"]].to_dict("records")
+            acts = slot_logic.route_take(slot, rows, cfg_b, rnd)
+            pdf["action"] = [a for a, _ in acts]
+            pdf["err"] = [e for _, e in acts]
+            pdf["s_ip_hash"] = pdf["s_ip_hash"].fillna(0).astype("int32")
+            return pdf[[f.name for f in ROUTED_SCHEMA]]
+
+        routed = _lc(take.groupBy("slot_id").applyInPandas(phase_b, ROUTED_SCHEMA))
+
+        bstats = {(r["cls"], r["action"]): r["n"] for r in
+                  routed.groupBy("cls", "action")
+                  .agg(F.count("*").alias("n")).collect()}
+        n_taken = sum(bstats.values())
+        takes_pw = sum(n for (c, _a), n in bstats.items() if c == "priority_wait")
+        takes_w = sum(n for (c, _a), n in bstats.items() if c == "disk_wait")
+        n_bounce = sum(n for (_c, a), n in bstats.items()
+                       if a == slot_logic.A_BOUNCE)
+        n_transfer_b = sum(n for (_c, a), n in bstats.items()
+                           if a == slot_logic.A_TRANSFER)
+        C["read_pw"] = max(0, C["read_pw"] - takes_pw)
+        C["read_w"] = max(0, C["read_w"] - takes_w)
+        C["take_next"] += n_taken
+
+        queues = st.queues.join(routed.select("qseq"), "qseq", "left_anti")
+
+        wb = Window.orderBy("take_rank")
+        bounced = (routed.filter(F.col("action") == slot_logic.A_BOUNCE)
+                   .withColumn("queue",
+                               F.when(F.col("cls").startswith("priority"),
+                                      "priority_wait").otherwise("disk_wait"))
+                   .withColumn("qseq", F.row_number().over(wb) - 1
+                               + F.lit(C["qseq_next"]))
+                   .select(*QUEUE_SCHEMA.names))
+        queues = queues.unionByName(bounced)
+
+        fifo_new = (routed.filter(F.col("action") == slot_logic.A_FIFO)
+                    .withColumn("fifo_pos", F.col("take_rank"))
+                    .select(*SITE_FIFO_SCHEMA.names))
+        site_fifo = st.site_fifo.unionByName(fifo_new)
+
+        wt = Window.orderBy("take_rank")
+        transfers_b = (routed.filter(F.col("action") == slot_logic.A_TRANSFER)
+                       .withColumn("ip_hash", F.col("s_ip_hash"))
+                       .withColumn("transfer_seq",
+                                   F.row_number().over(wt) - 1
+                                   + F.lit(C["transfer_seq_next"]))
+                       .select(*IP_QUEUE_SCHEMA.names))
+        C["transfer_seq_next"] += n_transfer_b
+
+        log_b = (routed.filter(F.col("action") == slot_logic.A_FORGET)
+                 .select(F.lit(rnd).alias("round"), "url",
+                         F.col("err").alias("error")))
+
+        bdelta = routed.groupBy("slot_id").agg(
+            F.sum(F.when(F.col("action").isin(
+                slot_logic.A_FIFO, slot_logic.A_TRANSFER), 1)
+                .otherwise(0)).cast("int").alias("nb_delta"),
+            F.min(F.when(F.col("action") == slot_logic.A_FIFO,
+                         F.col("take_rank"))).alias("first_fifo_rank"))
+        new_ids = bdelta.join(st.slots.select("slot_id"), "slot_id", "left_anti")
+        slots = st.slots.unionByName(_defaults_for_new_slots(new_ids))
+        dns_entry = (F.lit(rnd * 2).cast("long") * F.lit(1 << 32)
+                     + F.col("first_fifo_rank"))
+        slots = (slots.join(F.broadcast(bdelta), "slot_id", "left")
+                 .withColumn("nburls",
+                             F.col("nburls") + F.coalesce("nb_delta", F.lit(0)))
+                 .withColumn("dns_queue_pos",
+                             F.when(F.col("dns_queue_pos").isNull()
+                                    & F.col("first_fifo_rank").isNotNull(),
+                                    dns_entry)
+                             .otherwise(F.col("dns_queue_pos")))
+                 .select(*SLOTS_SCHEMA.names))
+
+        # ---------- phase C: DNS + robots ----------
+        (slots, site_fifo, transfers_c, log_c, n_transfer_c) = self._phase_c(
+            slots, site_fifo, rnd, C["transfer_seq_next"])
+        C["transfer_seq_next"] += n_transfer_c
+        slots = _lc(slots)
+        site_fifo = _lc(site_fifo)
+        # link-time fast-fail (initOK) consults slot state as of end of
+        # phase C (docs/ROUND_MODEL.md)
+        self.set_fastfail_slots(slots)
+        ip_queue = (st.ip_queue.unionByName(transfers_b)
+                    .unionByName(transfers_c))
+
+        # ---------- phase D: politeness schedule ----------
+        k = max(1, cfg.fetch_per_ip_per_round)
+        wip = Window.partitionBy("ip_hash").orderBy("transfer_seq")
+        cand = (ip_queue.join(F.broadcast(st.buckets), "ip_hash", "left")
+                .filter(F.col("last_fetch_round").isNull()
+                        | (F.col("last_fetch_round") < rnd)))
+        cand = (cand.withColumn("rn", F.row_number().over(wip))
+                .withColumn("bucket_head", F.min("transfer_seq").over(
+                    Window.partitionBy("ip_hash"))))
+        fetched = cand.filter(F.col("rn") <= k)
+        if cfg.fetch_cap_per_round:
+            fetched = (fetched.orderBy("bucket_head", "rn")
+                       .limit(cfg.fetch_cap_per_round))
+        fetched = fetched.withColumn(
+            "fetch_seq",
+            F.row_number().over(Window.orderBy("bucket_head", "rn")) - 1
+            + F.lit(C["fetch_seq_next"]))
+        fetched = _lc(fetched.select(
+            "url", "host", "port", "path", "depth", "slot_id", "ip_hash",
+            "transfer_seq", "fetch_seq"))
+        n_fetched = fetched.count()
+        C["fetch_seq_next"] += n_fetched
+
+        ip_queue = ip_queue.join(fetched.select("transfer_seq"),
+                                 "transfer_seq", "left_anti")
+        fetched_buckets = (fetched.select("ip_hash").distinct()
+                           .withColumn("last_fetch_round", F.lit(rnd)))
+        buckets = (st.buckets.join(fetched_buckets.select("ip_hash"),
+                                   "ip_hash", "left_anti")
+                   .unionByName(fetched_buckets))
+        ddelta = fetched.groupBy("slot_id").agg(
+            (-F.count("*")).cast("int").alias("nb_delta"))
+        slots = (slots.join(F.broadcast(ddelta), "slot_id", "left")
+                 .withColumn("nburls", F.col("nburls")
+                             + F.coalesce("nb_delta", F.lit(0)))
+                 .select(*SLOTS_SCHEMA.names))
+
+        ordering_new = fetched.select(F.lit(rnd).alias("round"),
+                                      "fetch_seq", "url")
+
+        # ---------- phase E: fetch + parse + link pipeline ----------
+        (queues, seen, dup_seen, log_e, metrics_e, docs_out_new,
+         n_links_new, n_success) = self._phase_e(
+            st, fetched, rnd, C["qseq_next"] + n_bounce, queues)
+        C["qseq_next"] += n_bounce + n_links_new
+        C["pages_ok"] += n_success
+
+        # ---------- phase F: commit ----------
+        new_tables = dict(st.tables)
+        new_tables["queues"] = _lc(queues)
+        new_tables["site_fifo"] = site_fifo
+        new_tables["ip_queue"] = _lc(ip_queue)
+        new_tables["slots"] = _lc(slots)
+        new_tables["buckets"] = _lc(buckets)
+        new_tables["seen"] = _lc(seen)
+        new_tables["dup_seen"] = _lc(dup_seen)
+        new_tables["fetch_log"] = _lc(st.fetch_log.unionByName(log_b)
+                                      .unionByName(log_c).unionByName(log_e))
+        new_tables["ordering"] = _lc(st.ordering.unionByName(ordering_new))
+        new_tables["metrics"] = _lc(st.metrics.unionByName(metrics_e))
+        new_tables["docs_out"] = _lc(
+            st.tables["docs_out"].unionByName(docs_out_new))
+        C["round"] = rnd + 1
+        return CrawlState(new_tables, C)
+
+    # ---------------- phase C ----------------
+
+    def _phase_c(self, slots: DataFrame, site_fifo: DataFrame, rnd: int,
+                 transfer_base: int):
+        cfg = self.cfg
+        queued = slots.filter(F.col("dns_queue_pos").isNotNull())
+        if cfg.dns_per_round:
+            queued = queued.orderBy("dns_queue_pos").limit(cfg.dns_per_round)
+        queued = queued.withColumn(
+            "proc_rank",
+            F.row_number().over(Window.orderBy("dns_queue_pos")))
+
+        # head identity per queued slot = min fifo_pos row (newId)
+        fifo_q = site_fifo.join(F.broadcast(queued.select("slot_id")),
+                                "slot_id", "left_semi")
+        wh = Window.partitionBy("slot_id").orderBy("fifo_pos")
+        heads = (fifo_q.withColumn("hrn", F.row_number().over(wh))
+                 .filter(F.col("hrn") == 1)
+                 .select("slot_id",
+                         _puny_col(cfg, F.col("host")).alias("head_puny"),
+                         F.col("port").alias("head_port")))
+        hosts = self.dims["hosts"].select(
+            F.col("host").alias("head_puny"), "dns_ok", "ip")
+        robots = self.dims["robots"].select(
+            F.col("host").alias("head_puny"),
+            F.col("status").alias("rob_status"),
+            F.col("body").alias("rob_body"),
+            F.coalesce(F.col("reachable"), F.lit(True)).alias("rob_reachable"))
+        heads = (heads.join(F.broadcast(hosts), "head_puny", "left")
+                 .join(F.broadcast(robots), "head_puny", "left"))
+        outcome = (F.when(F.col("dns_ok").isNull() | ~F.col("dns_ok"),
+                          slot_logic.ERROR_DNS)
+                   .when(~F.col("rob_reachable"), slot_logic.NOCONN_DNS)
+                   .otherwise(slot_logic.DONE_DNS))
+        heads = heads.withColumn("outcome", outcome)
+        heads = heads.withColumn(
+            "new_ip_hash",
+            F.when(F.col("outcome") == slot_logic.DONE_DNS,
+                   ip_hash_udf("ip")).otherwise(F.lit(0)))
+        robots_2xx = (F.col("rob_status").isNotNull()
+                      & (F.col("rob_status") >= 200) & (F.col("rob_status") < 300))
+        heads = heads.withColumn(
+            "parsed_forbidden",
+            F.when((F.col("outcome") == slot_logic.DONE_DNS) & robots_2xx,
+                   parse_robots_udf("rob_body", F.lit(cfg.user_agent)))
+            .otherwise(F.lit(None).cast(T.ArrayType(T.StringType()))))
+        heads = heads.withColumn("robots_is_2xx", robots_2xx)
+        heads = _lc(heads.join(
+            queued.select("slot_id", "proc_rank",
+                          F.col("forbidden").alias("old_forbidden"),
+                          "dns_queue_pos"), "slot_id"))
+
+        # new forbidden: parsed on 2xx, otherwise the old list survives
+        # (the reference only recycles inside parseRobots)
+        heads_eff = heads.withColumn(
+            "eff_forbidden",
+            F.when(F.col("robots_is_2xx"), F.col("parsed_forbidden"))
+            .otherwise(F.col("old_forbidden")))
+
+        scan_in = fifo_q.join(
+            F.broadcast(heads_eff.select(
+                "slot_id", "head_puny", "head_port", "outcome",
+                "eff_forbidden", "dns_queue_pos", "new_ip_hash")), "slot_id")
+        scan_in = scan_in.withColumn("puny", _puny_col(cfg, F.col("host")))
+        ignore_robots = cfg.ignore_robots
+
+        def phase_c_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("fifo_pos").reset_index(drop=True)
+            first = pdf.iloc[0]
+            rows = pdf[["puny", "port", "path"]].to_dict("records")
+            acts = slot_logic.resolve_fifo(
+                first["head_puny"], int(first["head_port"]), first["outcome"],
+                first["eff_forbidden"], ignore_robots, rows)
+            pdf["action"] = [a for a, _ in acts]
+            pdf["err"] = [e for _, e in acts]
+            return pdf[[f.name for f in RESOLVED_SCHEMA]]
+
+        resolved = _lc(scan_in.groupBy("slot_id")
+                       .applyInPandas(phase_c_scan, RESOLVED_SCHEMA))
+
+        # transfers (ordered after phase-B transfers)
+        wtr = Window.orderBy("dns_queue_pos", "fifo_pos")
+        transfers_c = (resolved.filter(F.col("action") == slot_logic.A_TRANSFER)
+                       .withColumn("ip_hash", F.col("new_ip_hash"))
+                       .withColumn("transfer_seq",
+                                   F.row_number().over(wtr) - 1
+                                   + F.lit(transfer_base))
+                       .select(*IP_QUEUE_SCHEMA.names))
+        n_transfer_c = transfers_c.count()
+
+        log_c = (resolved.filter(F.col("action") == slot_logic.A_FORGET)
+                 .select(F.lit(rnd).alias("round"), "url",
+                         F.col("err").alias("error")))
+
+        # fifo: stays survive, everything else leaves
+        stays = resolved.filter(F.col("action") == slot_logic.A_STAY)
+        site_fifo_new = (site_fifo
+                         .join(resolved.select("slot_id").distinct(),
+                               "slot_id", "left_anti")
+                         .unionByName(stays.select(*SITE_FIFO_SCHEMA.names)))
+
+        # slot updates
+        cdelta = resolved.groupBy("slot_id").agg(
+            F.sum(F.when(F.col("action") == slot_logic.A_FORGET, -1)
+                  .otherwise(0)).cast("int").alias("nb_delta"),
+            F.sum(F.when(F.col("action") == slot_logic.A_STAY, 1)
+                  .otherwise(0)).alias("n_stay"))
+        upd = (heads_eff.join(F.broadcast(cdelta), "slot_id", "left")
+               .select(
+                   "slot_id",
+                   F.col("head_puny").alias("u_name"),
+                   F.col("head_port").alias("u_port"),
+                   F.col("outcome").alias("u_dns_state"),
+                   F.col("eff_forbidden").alias("u_forbidden"),
+                   F.coalesce("nb_delta", F.lit(0)).alias("u_nb_delta"),
+                   F.when(F.coalesce("n_stay", F.lit(0)) > 0,
+                          F.lit(rnd * 2 + 1).cast("long") * F.lit(1 << 32)
+                          + F.col("proc_rank"))
+                   .otherwise(F.lit(None).cast("long")).alias("u_dns_queue_pos"),
+                   F.lit(rnd + self.expire_rounds).alias("u_dns_expire_round"),
+                   F.col("new_ip_hash").alias("u_ip_hash"),
+                   F.lit(True).alias("u_processed")))
+        slots_new = (slots.join(F.broadcast(upd), "slot_id", "left")
+                     .select(
+                         "slot_id",
+                         F.when(F.col("u_processed"), F.col("u_name"))
+                         .otherwise(F.col("name")).alias("name"),
+                         F.when(F.col("u_processed"), F.col("u_port"))
+                         .otherwise(F.col("port")).cast("int").alias("port"),
+                         F.when(F.col("u_processed"), F.col("u_dns_state"))
+                         .otherwise(F.col("dns_state")).alias("dns_state"),
+                         F.when(F.col("u_processed"), F.col("u_forbidden"))
+                         .otherwise(F.col("forbidden")).alias("forbidden"),
+                         (F.col("nburls") + F.coalesce("u_nb_delta", F.lit(0)))
+                         .cast("int").alias("nburls"),
+                         F.when(F.col("u_processed"), F.col("u_dns_queue_pos"))
+                         .otherwise(F.col("dns_queue_pos")).alias("dns_queue_pos"),
+                         F.when(F.col("u_processed"), F.col("u_dns_expire_round"))
+                         .otherwise(F.col("dns_expire_round")).cast("int")
+                         .alias("dns_expire_round"),
+                         F.when(F.col("u_processed"), F.col("u_ip_hash"))
+                         .otherwise(F.col("ip_hash")).cast("int").alias("ip_hash")))
+        return slots_new, site_fifo_new, transfers_c, log_c, n_transfer_c
+
+    # ---------------- phase E ----------------
+
+    def _phase_e(self, st: CrawlState, fetched: DataFrame, rnd: int,
+                 qseq_base: int, queues: DataFrame):
+        cfg, spark = self.cfg, self.spark
+        docs = self.dims["documents"].select(
+            F.col("doc_id"), F.col("spans"),
+            F.col("status").alias("d_status"),
+            F.col("redirect_to"), F.col("content_type"),
+            F.col("length").alias("d_length"))
+        pages = fetched.join(F.broadcast(docs),
+                             fetched.url == docs.doc_id, "left")
+
+        ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+        type_ok = (ct.startswith("text/html")
+                   | F.lit(bool(cfg.any_type))
+                   | (F.lit(bool(cfg.get_image)) & ct.startswith("image")))
+        page_class = (
+            F.when(F.col("doc_id").isNull(), "err40X")
+            .when((F.col("d_status") >= 300) & (F.col("d_status") < 400), "err30X")
+            .when(~((F.col("d_status") >= 200) & (F.col("d_status") < 300)), "err40X")
+            .when(~type_ok, "badType")
+            .when(F.coalesce(F.col("d_length"), F.lit(0)) > cfg.max_page_size,
+                  "tooBig")
+            .otherwise("ok"))
+        pages = pages.withColumn("page_class", page_class)
+
+        # content-dup gate (hashDup, file.cxx:583-588), in fetch order
+        if cfg.page_no_duplicate:
+            @F.pandas_udf(T.LongType())
+            def content_bucket_from_spans(spans: pd.Series) -> pd.Series:
+                from ..kernels.hashes import content_hash
+                from ..kernels.links import render_content
+                out = []
+                for sp in spans:
+                    if sp is None:
+                        out.append(0)
+                        continue
+                    tup = [(d["kind"], d["text"], d["media_ref"], d["offset"])
+                           for d in sp]
+                    out.append(content_hash(render_content(tup), cfg.dup_size))
+                return pd.Series(out, dtype="int64")
+
+            pages = pages.withColumn(
+                "c_bucket",
+                F.when(F.col("page_class") == "ok",
+                       content_bucket_from_spans("spans")))
+            wdup = Window.partitionBy("c_bucket").orderBy("fetch_seq")
+            pages = pages.withColumn(
+                "dup_rn", F.when(F.col("c_bucket").isNotNull(),
+                                 F.row_number().over(wdup)))
+            dup_hit = st.dup_seen.select(F.col("bucket").alias("c_bucket")) \
+                .withColumn("dup_seen_hit", F.lit(True))
+            pages = pages.join(F.broadcast(dup_hit), "c_bucket", "left")
+            pages = pages.withColumn(
+                "page_class",
+                F.when((F.col("page_class") == "ok")
+                       & (F.coalesce("dup_seen_hit", F.lit(False))
+                          | (F.col("dup_rn") > 1)), "duplicate")
+                .otherwise(F.col("page_class")))
+            dup_new = (pages.filter((F.col("page_class") == "ok")
+                                    | (F.col("page_class") == "duplicate"))
+                       .filter(F.col("dup_rn") == 1)
+                       .filter(~F.coalesce("dup_seen_hit", F.lit(False)))
+                       .select(F.col("c_bucket").alias("bucket")))
+            # testSet sets the bit for the first occurrence even when the
+            # page then fails later gates -- here 'ok'/'duplicate' are the
+            # only classes that reach the dup test, matching endInput order
+            dup_seen = st.dup_seen.unionByName(dup_new)
+        else:
+            dup_seen = st.dup_seen
+
+        pages = _lc(pages.withColumn(
+            "final_error",
+            F.when(F.col("page_class") == "ok", "success")
+            .otherwise(F.col("page_class"))))
+
+        log_e_pages = pages.select(F.lit(rnd).alias("round"), "url",
+                                   F.col("final_error").alias("error"))
+        n_success = pages.filter(F.col("final_error") == "success").count()
+
+        docs_out_new = (pages.filter(F.col("final_error") == "success")
+                        .select(F.lit(rnd).alias("round"), "fetch_seq",
+                                "doc_id", "spans"))
+
+        # ---- link extraction (mapInPandas over spans, O-12) ----
+        get_image, get_cgi = cfg.get_image, cfg.get_cgi
+        ex_in = pages.filter(F.col("final_error").isin("success", "err30X")) \
+            .select("fetch_seq", "host", "port", "path", "depth", "spans",
+                    "redirect_to",
+                    (F.col("final_error") == "err30X").alias("redir_row"))
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [f.name for f in LINKS_SCHEMA]
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    page = ParsedUrl(row.host, int(row.port), row.path,
+                                     int(row.depth))
+                    if row.redir_row:
+                        cleaned = clean_redirect_text(
+                            row.redirect_to or "", get_cgi)
+                        u = (parse_url(cleaned, page.depth, give_base(page))
+                             if cleaned else None)
+                        if u is not None:
+                            out.append((row.fetch_seq, 0, u.url, u.host,
+                                        u.port, u.path, u.depth, True,
+                                        row.host))
+                    else:
+                        tup = [(d["kind"], d["text"], d["media_ref"],
+                                d["offset"]) for d in row.spans]
+                        for i, u in enumerate(extract_links(
+                                tup, page, get_image, get_cgi)):
+                            out.append((row.fetch_seq, i, u.url, u.host,
+                                        u.port, u.path, u.depth, False,
+                                        row.host))
+                yield pd.DataFrame(out, columns=cols)
+
+        links = ex_in.mapInPandas(extract, LINKS_SCHEMA)
+
+        # ---- manageUrl gates (file.cxx:329-357) ----
+        domains_csv = "|".join(cfg.domains) if cfg.domains else ""
+        exts_csv = "|".join(cfg.forbidden_extensions)
+        links = links.filter(filter1_udf(
+            "l_host", "l_path", F.lit(domains_csv), F.lit(exts_csv)))
+        links = links.filter(
+            F.lit(bool(cfg.external_links)) | F.col("is_redir")
+            | (F.col("l_host") == F.col("parent_host")))
+
+        # ---- initOK gates (url.cxx:343-391) ----
+        cross = F.col("l_host") != F.col("parent_host")
+        err_col = F.lit(None).cast("string")
+        if cfg.lock_site:
+            err_col = F.when(cross, "outSite").otherwise(err_col)
+        if cfg.depth_by_site:
+            links = links.withColumn(
+                "l_depth", F.when(cross, cfg.depth_in_site)
+                .otherwise(F.col("l_depth")))
+        links = links.withColumn("gate_err", err_col)
+        links = links.withColumn(
+            "gate_err", F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
+            .when(F.col("l_depth") < 0, "tooDeep"))
+
+        links = links.withColumn("l_slot_id", site_hash_udf("l_host"))
+        slots_now = self._slots_for_fastfail
+        links = links.join(F.broadcast(slots_now), "l_slot_id", "left")
+        ff = ((F.col("ff_name") == F.col("l_host"))
+              & (F.col("ff_port") == F.col("l_port")))
+        links = links.withColumn(
+            "gate_err",
+            F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
+            .when(ff & (F.col("ff_state") == slot_logic.ERROR_DNS), "fastNoDns")
+            .when(ff & (F.col("ff_state") == slot_logic.NOCONN_DNS), "fastNoConn")
+            .when(ff & (F.col("ff_state") == slot_logic.DONE_DNS)
+                  & ~robots_allowed_udf("l_path", F.col("ff_forbidden"),
+                                        F.lit(bool(cfg.ignore_robots))),
+                  "fastRobots"))
+
+        # ---- check(): seen testSet in deterministic order (O-6) ----
+        survivors = links.filter(F.col("gate_err").isNull())
+        survivors = survivors.withColumn(
+            "bucket", url_bucket_udf("l_host", "l_port", "l_path",
+                                     F.lit(cfg.hash_size)))
+        wdedup = Window.partitionBy("bucket").orderBy("fetch_seq", "link_idx")
+        survivors = survivors.withColumn("brn", F.row_number().over(wdedup))
+        seen_hit = st.seen.withColumn("seen_hit", F.lit(True))
+        survivors = survivors.join(seen_hit, "bucket", "left")
+        survivors = _lc(survivors.withColumn(
+            "is_dup", (F.col("brn") > 1) | F.coalesce("seen_hit", F.lit(False))))
+
+        novel = survivors.filter(~F.col("is_dup"))
+        n_links_new = novel.count()
+
+        if cfg.specific_search and cfg.privileged_exts:
+            from ..kernels.urlfilter import match_priv_ext
+
+            @F.pandas_udf(T.BooleanType())
+            def priv_udf(p: pd.Series) -> pd.Series:
+                return pd.Series([match_priv_ext(x or "", cfg.privileged_exts)
+                                  for x in p])
+            queue_col = F.when(priv_udf("l_path"), "priority").otherwise("disk")
+        else:
+            queue_col = F.lit("disk")
+
+        wlink = Window.orderBy("fetch_seq", "link_idx")
+        new_rows = novel.select(
+            F.col("l_url").alias("url"), F.col("l_host").alias("host"),
+            F.col("l_port").alias("port"), F.col("l_path").alias("path"),
+            F.col("l_depth").alias("depth"),
+            (F.row_number().over(wlink) - 1 + F.lit(qseq_base)).alias("qseq"),
+            queue_col.alias("queue"))
+        queues = queues.unionByName(new_rows)
+        seen = st.seen.unionByName(novel.select("bucket"))
+
+        # ---- metrics / lineage (O-19) ----
+        gate_errors = links.filter(F.col("gate_err").isNotNull()) \
+            .select(F.col("gate_err").alias("error"))
+        dup_errors = survivors.filter(F.col("is_dup")) \
+            .select(F.lit("urlDup").alias("error"))
+        page_errors = pages.select(F.col("final_error").alias("error"))
+        all_events = gate_errors.unionByName(dup_errors).unionByName(page_errors)
+        metrics_e = (all_events
+                     .withColumn("partition_id", F.spark_partition_id())
+                     .groupBy("partition_id", "error")
+                     .agg(F.count("*").alias("n"))
+                     .select(F.lit(rnd).alias("round"), "partition_id",
+                             "error", "n"))
+        # forgets from phases B/C are appended by the caller into
+        # fetch_log; their taxonomy counts live there.
+
+        return (queues, seen, dup_seen, log_e_pages, metrics_e,
+                docs_out_new, n_links_new, n_success)
+
+    @property
+    def _slots_for_fastfail(self) -> DataFrame:
+        return self._fastfail_slots
+
+    def set_fastfail_slots(self, slots: DataFrame) -> None:
+        self._fastfail_slots = slots.select(
+            F.col("slot_id").alias("l_slot_id"),
+            F.col("name").alias("ff_name"), F.col("port").alias("ff_port"),
+            F.col("dns_state").alias("ff_state"),
+            F.col("forbidden").alias("ff_forbidden"))

@@ -1,0 +1,144 @@
+"""Crawl state: the schemas of every state table and snapshot I/O.
+
+All mutable crawler state lives in DataFrames (SURVEY.md §1.5 "all
+state is tables"); the driver keeps only O(1) counters, which ride in
+the snapshot manifest. One CrawlState = one committed round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.catalog import SnapshotStore
+
+QUEUE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("port", T.IntegerType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("qseq", T.LongType()),
+    T.StructField("queue", T.StringType()),
+])
+
+SITE_FIFO_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("port", T.IntegerType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("qseq", T.LongType()),
+    T.StructField("slot_id", T.IntegerType()),
+    T.StructField("fifo_pos", T.LongType()),
+])
+
+IP_QUEUE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("port", T.IntegerType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("slot_id", T.IntegerType()),
+    T.StructField("ip_hash", T.IntegerType()),
+    T.StructField("transfer_seq", T.LongType()),
+])
+
+SLOTS_SCHEMA = T.StructType([
+    T.StructField("slot_id", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("port", T.IntegerType()),
+    T.StructField("dns_state", T.StringType()),
+    T.StructField("forbidden", T.ArrayType(T.StringType())),
+    T.StructField("nburls", T.IntegerType()),
+    T.StructField("dns_queue_pos", T.LongType()),
+    T.StructField("dns_expire_round", T.IntegerType()),
+    T.StructField("ip_hash", T.IntegerType()),
+])
+
+BUCKETS_SCHEMA = T.StructType([
+    T.StructField("ip_hash", T.IntegerType()),
+    T.StructField("last_fetch_round", T.IntegerType()),
+])
+
+SEEN_SCHEMA = T.StructType([T.StructField("bucket", T.LongType())])
+
+FETCH_LOG_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+ORDERING_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("fetch_seq", T.LongType()),
+    T.StructField("url", T.StringType()),
+])
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("partition_id", T.IntegerType()),
+    T.StructField("error", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+SPAN_TYPE = T.ArrayType(T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+]))
+
+DOCS_OUT_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("fetch_seq", T.LongType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", SPAN_TYPE),
+])
+
+TABLES = ("queues", "site_fifo", "ip_queue", "slots", "buckets",
+          "seen", "dup_seen", "fetch_log", "ordering", "metrics",
+          "docs_out")
+
+_SCHEMAS = {
+    "queues": QUEUE_SCHEMA, "site_fifo": SITE_FIFO_SCHEMA,
+    "ip_queue": IP_QUEUE_SCHEMA, "slots": SLOTS_SCHEMA,
+    "buckets": BUCKETS_SCHEMA, "seen": SEEN_SCHEMA,
+    "dup_seen": SEEN_SCHEMA, "fetch_log": FETCH_LOG_SCHEMA,
+    "ordering": ORDERING_SCHEMA, "metrics": METRICS_SCHEMA,
+    "docs_out": DOCS_OUT_SCHEMA,
+}
+
+
+@dataclass
+class CrawlState:
+    tables: Dict[str, DataFrame]
+    counters: Dict[str, int] = field(default_factory=dict)
+
+    def __getattr__(self, item):
+        try:
+            return self.tables[item]
+        except KeyError:
+            raise AttributeError(item)
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "CrawlState":
+        tables = {name: spark.createDataFrame([], schema)
+                  for name, schema in _SCHEMAS.items()}
+        counters = dict(qseq_next=0, transfer_seq_next=0, fetch_seq_next=0,
+                        take_next=0, read_pw=0, read_w=0, pages_ok=0, round=0)
+        return cls(tables, counters)
+
+    def save(self, store: SnapshotStore, rnd: int) -> None:
+        for name in TABLES:
+            store.write_table(rnd, name, self.tables[name])
+        store.commit(rnd, {"counters": self.counters, "round": rnd})
+
+    @classmethod
+    def load(cls, spark: SparkSession, store: SnapshotStore,
+             rnd: int) -> "CrawlState":
+        tables = {name: store.read_table(spark, rnd, name) for name in TABLES}
+        return cls(tables, dict(store.manifest(rnd)["counters"]))

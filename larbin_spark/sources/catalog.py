@@ -1,0 +1,77 @@
+"""Snapshot catalog: atomic per-round state commits with exact resume.
+
+The reference persists its frontier as numbered FIFO files plus
+periodic bitmap dumps (persistent_fifo.cxx:186-216,
+hash_table.cxx:78-88) and resume is lossy (RAM queues lost). Here a
+*snapshot* is a directory `round=NNNNNN/` holding one parquet dataset
+per state table plus a `manifest.json` with the driver counters; the
+manifest is written last and a `_LATEST` pointer file is renamed into
+place atomically, so resume (`latest()`) is exact: re-read the tables
+of the newest complete snapshot and continue at `manifest["round"]`.
+
+This is the plain-filesystem stand-in for an Iceberg catalog (no
+Iceberg runtime jar is available in this sandbox); the protocol —
+snapshot-per-round, manifest-pointer commit, time-travel by round —
+mirrors Iceberg's snapshot/metadata-pointer design, and `write_table`
+/ `read_table` are the single seam where `df.writeTo(...)` would slot
+in on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _snap_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round={rnd:06d}")
+
+    def write_table(self, rnd: int, name: str, df: DataFrame) -> None:
+        path = os.path.join(self._snap_dir(rnd), name)
+        df.write.mode("overwrite").parquet(path)
+
+    def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._snap_dir(rnd), name))
+
+    def commit(self, rnd: int, manifest: dict) -> None:
+        """Write the manifest, then atomically advance _LATEST."""
+        snap = self._snap_dir(rnd)
+        os.makedirs(snap, exist_ok=True)
+        with open(os.path.join(snap, "manifest.json"), "w") as fp:
+            json.dump(manifest, fp, indent=1)
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as fp:
+            fp.write(f"{rnd:06d}")
+        os.replace(tmp, os.path.join(self.root, "_LATEST"))
+
+    def latest(self) -> Optional[int]:
+        ptr = os.path.join(self.root, "_LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fp:
+            return int(fp.read().strip())
+
+    def manifest(self, rnd: int) -> dict:
+        with open(os.path.join(self._snap_dir(rnd), "manifest.json")) as fp:
+            return json.load(fp)
+
+    def prune(self, keep_last: int = 2) -> None:
+        """Drop old snapshots (like expiring Iceberg snapshots)."""
+        latest = self.latest()
+        if latest is None:
+            return
+        for entry in os.listdir(self.root):
+            if entry.startswith("round="):
+                r = int(entry.split("=")[1])
+                if r < latest - keep_last + 1:
+                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
