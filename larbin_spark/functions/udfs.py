@@ -59,16 +59,17 @@ def canonicalize_udf(raw: pd.Series, base_host: pd.Series,
 @pandas_udf(T.LongType())
 def url_bucket_udf(host: pd.Series, port: pd.Series, path: pd.Series,
                    hash_size: pd.Series) -> pd.Series:
-    """url::hashCode bucket (the seen-set key, O-6)."""
-    return pd.Series([
-        url_hash(h, int(p), f, int(hs))
-        for h, p, f, hs in zip(host, port, path, hash_size)
-    ], dtype="int64")
+    """url::hashCode bucket (the seen-set key, O-6) — numpy fast path
+    (kernels/vectorized.py), parity-pinned to the scalar kernel."""
+    from ..kernels.vectorized import url_hash_np
+    return pd.Series(url_hash_np(host, port, path, int(hash_size.iloc[0])),
+                     dtype="int64")
 
 
 @pandas_udf(T.IntegerType())
 def site_hash_udf(host: pd.Series) -> pd.Series:
-    return pd.Series([site_hash(h) for h in host], dtype="int32")
+    from ..kernels.vectorized import site_hash_np
+    return pd.Series(site_hash_np(host), dtype="int32")
 
 
 @pandas_udf(T.IntegerType())

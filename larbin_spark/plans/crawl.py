@@ -17,23 +17,32 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
               dims: Dict[str, DataFrame], seeds: List[str],
               max_rounds: int = 10 ** 9,
               store: Optional[SnapshotStore] = None,
-              checkpoint_every: int = 10,
+              keep_snapshots: int = 3,
               resume: bool = False) -> CrawlState:
     """Run rounds until the frontier drains or a limit hits
     (main.cxx:184-185: frontier-empty termination; limit_page /
-    max_rounds are the limitPage/limitTime analogues)."""
+    max_rounds are the limitPage/limitTime analogues).
+
+    Every round commits a durable snapshot (the round's state tables
+    round-trip through parquet — this also resets Catalyst size
+    statistics, see plans/round.py phase F). Resume picks up the
+    latest committed snapshot exactly.
+    """
+    import tempfile
     runner = RoundRunner(spark, cfg, dims)
+    if store is None:
+        store = SnapshotStore(tempfile.mkdtemp(prefix="larbin_snap_"))
 
     rnd = 0
-    if resume and store is not None and store.latest() is not None:
+    if resume and store.latest() is not None:
         last = store.latest()
         st = CrawlState.load(spark, store, last)
         rnd = st.counters["round"]
     else:
         st = CrawlState.empty(spark)
         st = runner.seed(st, seeds)
-        if store is not None:
-            st.save(store, -1 + 0)  # bootstrap snapshot (round 0 not yet run)
+        st.save(store, 0)  # bootstrap snapshot (before round 0)
+        st = CrawlState.load(spark, store, 0)
 
     while rnd < max_rounds:
         if cfg.max_rounds and rnd >= cfg.max_rounds:
@@ -46,10 +55,9 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
             break
         st = runner.run_round(st, rnd)
         rnd += 1
-        if store is not None and rnd % checkpoint_every == 0:
-            st.save(store, rnd)
-    if store is not None:
         st.save(store, rnd)
+        st = CrawlState.load(spark, store, rnd)
+        store.prune(keep_last=keep_snapshots)
     return st
 
 

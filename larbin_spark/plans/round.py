@@ -171,6 +171,14 @@ class RoundRunner:
     # ---------------- the round ----------------
 
     def run_round(self, st: CrawlState, rnd: int) -> CrawlState:
+        import os as _os, time as _time
+        _prof = _os.environ.get("SPARK_GRAFT_PROFILE")
+        _t = [_time.time()]
+        def _mark(label):
+            if _prof:
+                now = _time.time()
+                print(f"    [{label}] {now - _t[0]:.1f}s", flush=True)
+                _t[0] = now
         spark, cfg = self.spark, self.cfg
         C = st.counters
         cfg_b = {"max_urls_by_site": cfg.max_urls_by_site,
@@ -247,6 +255,7 @@ class RoundRunner:
             return pdf[[f.name for f in ROUTED_SCHEMA]]
 
         routed = _lc(take.groupBy("slot_id").applyInPandas(phase_b, ROUTED_SCHEMA))
+        _mark("B:routed")
 
         bstats = {(r["cls"], r["action"]): r["n"] for r in
                   routed.groupBy("cls", "action")
@@ -261,6 +270,7 @@ class RoundRunner:
         C["read_pw"] = max(0, C["read_pw"] - takes_pw)
         C["read_w"] = max(0, C["read_w"] - takes_w)
         C["take_next"] += n_taken
+        _mark("B:stats")
 
         queues = st.queues.join(routed.select("qseq"), "qseq", "left_anti")
 
@@ -287,6 +297,7 @@ class RoundRunner:
                                    + F.lit(C["transfer_seq_next"]))
                        .select(*IP_QUEUE_SCHEMA.names))
         C["transfer_seq_next"] += n_transfer_b
+        _mark("B:derive")
 
         log_b = (routed.filter(F.col("action") == slot_logic.A_FORGET)
                  .select(F.lit(rnd).alias("round"), "url",
@@ -321,6 +332,7 @@ class RoundRunner:
         # link-time fast-fail (initOK) consults slot state as of end of
         # phase C (docs/ROUND_MODEL.md)
         self.set_fastfail_slots(slots)
+        _mark("C:done")
         ip_queue = (st.ip_queue.unionByName(transfers_b)
                     .unionByName(transfers_c))
 
@@ -346,6 +358,7 @@ class RoundRunner:
             "transfer_seq", "fetch_seq"))
         n_fetched = fetched.count()
         C["fetch_seq_next"] += n_fetched
+        _mark("D:fetched")
 
         ip_queue = ip_queue.join(fetched.select("transfer_seq"),
                                  "transfer_seq", "left_anti")
@@ -370,23 +383,31 @@ class RoundRunner:
             st, fetched, rnd, C["qseq_next"] + n_bounce, queues)
         C["qseq_next"] += n_bounce + n_links_new
         C["pages_ok"] += n_success
+        _mark("E:done")
 
         # ---------- phase F: commit ----------
+        # tables stay lazy here; the crawl driver persists the whole
+        # state through the SnapshotStore at every round boundary,
+        # which (a) makes each round durably resumable and (b) resets
+        # Catalyst's size statistics to real file sizes -- checkpointed
+        # in-memory plans preserve computed stats, so join-size
+        # estimates would compound multiplicatively across rounds
+        # (BigInt stats blowup in the planner)
         new_tables = dict(st.tables)
-        new_tables["queues"] = _lc(queues)
+        new_tables["queues"] = queues
         new_tables["site_fifo"] = site_fifo
-        new_tables["ip_queue"] = _lc(ip_queue)
-        new_tables["slots"] = _lc(slots)
-        new_tables["buckets"] = _lc(buckets)
-        new_tables["seen"] = _lc(seen)
-        new_tables["dup_seen"] = _lc(dup_seen)
-        new_tables["fetch_log"] = _lc(st.fetch_log.unionByName(log_b)
-                                      .unionByName(log_c).unionByName(log_e))
-        new_tables["ordering"] = _lc(st.ordering.unionByName(ordering_new))
-        new_tables["metrics"] = _lc(st.metrics.unionByName(metrics_e))
-        new_tables["docs_out"] = _lc(
-            st.tables["docs_out"].unionByName(docs_out_new))
+        new_tables["ip_queue"] = ip_queue
+        new_tables["slots"] = slots
+        new_tables["buckets"] = buckets
+        new_tables["seen"] = seen
+        new_tables["dup_seen"] = dup_seen
+        new_tables["fetch_log"] = (st.fetch_log.unionByName(log_b)
+                                   .unionByName(log_c).unionByName(log_e))
+        new_tables["ordering"] = st.ordering.unionByName(ordering_new)
+        new_tables["metrics"] = st.metrics.unionByName(metrics_e)
+        new_tables["docs_out"] = st.tables["docs_out"].unionByName(docs_out_new)
         C["round"] = rnd + 1
+        _mark("F:commit")
         return CrawlState(new_tables, C)
 
     # ---------------- phase C ----------------

@@ -140,5 +140,6 @@ class CrawlState:
     @classmethod
     def load(cls, spark: SparkSession, store: SnapshotStore,
              rnd: int) -> "CrawlState":
-        tables = {name: store.read_table(spark, rnd, name) for name in TABLES}
+        tables = {name: store.read_table(spark, rnd, name, _SCHEMAS[name])
+                  for name in TABLES}
         return cls(tables, dict(store.manifest(rnd)["counters"]))

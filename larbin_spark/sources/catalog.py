@@ -36,12 +36,18 @@ class SnapshotStore:
     def _snap_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"round={rnd:06d}")
 
-    def write_table(self, rnd: int, name: str, df: DataFrame) -> None:
+    def write_table(self, rnd: int, name: str, df: DataFrame,
+                    parts: int = 4) -> None:
         path = os.path.join(self._snap_dir(rnd), name)
-        df.write.mode("overwrite").parquet(path)
+        df.coalesce(parts).write.mode("overwrite").parquet(path)
 
-    def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._snap_dir(rnd), name))
+    def read_table(self, spark: SparkSession, rnd: int, name: str,
+                   schema=None) -> DataFrame:
+        path = os.path.join(self._snap_dir(rnd), name)
+        if schema is not None:
+            # explicit schema: an empty table writes no part files
+            return spark.read.schema(schema).parquet(path)
+        return spark.read.parquet(path)
 
     def commit(self, rnd: int, manifest: dict) -> None:
         """Write the manifest, then atomically advance _LATEST."""

@@ -1,0 +1,78 @@
+"""O-2: externally submitted URLs as a Structured Streaming source.
+
+The reference accepts URLs on a TCP input port with a
+"priority:%d depth:%u test:%u" header and one URL per line
+(src/io/input.cxx:60-187): test=1 submissions dedup against the seen
+set, test=0 force-set the seen bit; priority routes to the priority
+queue. Here the same protocol rides a streaming source (file-drop
+directory in tests — swap `format` for socket/kafka in production):
+each line is `<priority> <depth> <test> <raw-url>`.
+
+The stream canonicalizes (O-3 pandas UDF), computes the seen bucket,
+and appends frontier-delta rows to a parquet staging directory that
+the next crawl round unions in (entry point B joins the pipeline at
+the sequencer, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import canonicalize_udf, url_bucket_udf
+
+
+def parse_submissions(lines: DataFrame, hash_size: int = 64_000_000) -> DataFrame:
+    """lines(value: string) -> frontier-delta rows with bucket ids."""
+    parts = F.split(F.col("value"), " ", 4)
+    df = lines.select(
+        parts.getItem(0).cast("int").alias("priority"),
+        parts.getItem(1).cast("int").alias("depth"),
+        parts.getItem(2).cast("int").alias("test"),
+        parts.getItem(3).alias("raw_url"))
+    df = df.withColumn("c", canonicalize_udf(
+        "raw_url", F.lit(None), F.lit(None), F.lit(None)))
+    df = (df.filter(F.col("c.valid"))
+          .select("priority", "depth", "test",
+                  F.col("c.url").alias("url"), F.col("c.host").alias("host"),
+                  F.col("c.port").alias("port"), F.col("c.path").alias("path")))
+    df = df.withColumn("bucket", url_bucket_udf(
+        "host", "port", "path", F.lit(hash_size)))
+    return df.withColumn(
+        "queue", F.when(F.col("priority") > 0, "priority").otherwise("disk")) \
+        .withColumn("force_seen", F.col("test") == 0)
+
+
+def submission_stream(spark: SparkSession, drop_dir: str,
+                      out_dir: str, checkpoint_dir: str,
+                      hash_size: int = 64_000_000):
+    """File-drop streaming intake -> parquet frontier staging.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    lines = (spark.readStream.format("text")
+             .option("maxFilesPerTrigger", 16)
+             .load(drop_dir))
+    delta = parse_submissions(lines, hash_size)
+    return (delta.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_submission_rate(spark: SparkSession, drop_dir: str,
+                             window: str = "10 seconds",
+                             watermark: str = "30 seconds") -> DataFrame:
+    """O-19 streaming analogue: per-host windowed submission counts
+    with a watermark for late data (returns an unstarted streaming
+    DataFrame; tests drive it with a memory sink)."""
+    lines = (spark.readStream.format("text").load(drop_dir)
+             .withColumn("ts", F.current_timestamp()))
+    parts = F.split(F.col("value"), " ", 4)
+    df = lines.select("ts", parts.getItem(3).alias("raw_url"))
+    df = df.withColumn("c", canonicalize_udf(
+        "raw_url", F.lit(None), F.lit(None), F.lit(None)))
+    df = df.filter(F.col("c.valid")).select("ts", F.col("c.host").alias("host"))
+    return (df.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "host")
+            .agg(F.count("*").alias("n")))

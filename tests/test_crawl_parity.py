@@ -1,0 +1,90 @@
+"""THE acceptance gate (BASELINE.md): the Spark pipeline must produce
+the exact (round, seq, url) fetch ordering, final seen bucket set,
+error taxonomy and fetch log of the oracle (the executable spec of
+the reference's queue discipline), plus per-row span-sequence
+equality on every emitted document."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from larbin_spark.config import CrawlConfig
+from larbin_spark.fixtures.webgen import to_oracle_inputs
+from larbin_spark.oracle.simulator import CrawlOracle
+from larbin_spark.plans.crawl import collect_results, run_crawl
+
+ROUNDS = int(os.environ.get("SPARK_GRAFT_PARITY_ROUNDS", "8"))
+
+
+@pytest.fixture(scope="module")
+def dims(spark, fixture_dir):
+    return {n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
+            for n in ("documents", "hosts", "robots")}
+
+
+def oracle_run(fixture_web, seeds, cfg, max_rounds):
+    docs, hosts, robots, _ = to_oracle_inputs(fixture_web)
+    o = CrawlOracle(cfg, docs, hosts, robots)
+    return o.run(list(seeds), max_rounds=max_rounds)
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, dims, seeds):
+    cfg = CrawlConfig()
+    st = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS)
+    return collect_results(st), st
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_web, seeds):
+    return oracle_run(fixture_web, seeds, CrawlConfig(), ROUNDS)
+
+
+def test_fetch_ordering_exact(spark_result, oracle_result):
+    sres, _ = spark_result
+    assert sres["ordering"] == oracle_result["ordering"]
+
+
+def test_seen_set_exact(spark_result, oracle_result):
+    sres, _ = spark_result
+    assert set(sres["seen"]) == set(oracle_result["seen"])
+
+
+def test_error_taxonomy_exact(spark_result, oracle_result):
+    sres, _ = spark_result
+    assert sres["errors"] == oracle_result["errors"]
+
+
+def test_fetch_log_exact(spark_result, oracle_result):
+    sres, _ = spark_result
+    assert sorted(sres["fetch_log"]) == sorted(
+        (r, u, e) for r, u, e in oracle_result["fetch_log"])
+
+
+def test_emitted_documents_match(spark_result, oracle_result):
+    sres, _ = spark_result
+    assert sres["emitted"] == oracle_result["emitted"]
+
+
+def test_span_sequence_equality(spark_result, spark, fixture_dir):
+    """Per-row invariant (BASELINE input_hint): every emitted document
+    preserves span-sequence equality (kind, text, media_ref, order)
+    vs the fixture."""
+    _, st = spark_result
+    fixture_docs = spark.read.parquet(
+        os.path.join(fixture_dir, "documents.parquet")).select(
+        "doc_id", F.col("spans").alias("expected_spans"))
+    joined = st.tables["docs_out"].join(fixture_docs, "doc_id")
+    assert joined.count() == st.tables["docs_out"].count()
+    mismatched = joined.filter(
+        F.to_json(F.col("spans")) != F.to_json(F.col("expected_spans")))
+    assert mismatched.count() == 0
+
+
+def test_metrics_lineage_populated(spark_result):
+    _, st = spark_result
+    rows = st.metrics.groupBy("error").agg(F.sum("n").alias("n")).collect()
+    assert {r["error"] for r in rows} >= {"success"}
+    parts = st.metrics.select("partition_id").distinct().count()
+    assert parts >= 1
