@@ -1,0 +1,52 @@
+"""O-16: exact checkpoint/resume. Kill after round k, resume from the
+snapshot store, final results identical to an uninterrupted run."""
+
+import os
+
+import pytest
+
+from larbin_spark.config import CrawlConfig
+from larbin_spark.plans.crawl import collect_results, run_crawl
+from larbin_spark.sources.catalog import SnapshotStore
+
+ROUNDS = int(os.environ.get("SPARK_GRAFT_RESUME_ROUNDS", "6"))
+
+
+@pytest.fixture(scope="module")
+def dims(spark, fixture_dir):
+    return {n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
+            for n in ("documents", "hosts", "robots")}
+
+
+def test_resume_exact(spark, dims, seeds, tmp_path):
+    cfg = CrawlConfig()
+    # uninterrupted reference run
+    st_full = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS)
+    full = collect_results(st_full)
+
+    # interrupted run: stop at k, then resume from the store
+    k = ROUNDS // 2
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    run_crawl(spark, cfg, dims, list(seeds), max_rounds=k, store=store)
+    assert store.latest() == k
+    st_res = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS,
+                       store=store, resume=True)
+    resumed = collect_results(st_res)
+
+    assert resumed["ordering"] == full["ordering"]
+    assert resumed["seen"] == full["seen"]
+    assert resumed["errors"] == full["errors"]
+    assert sorted(resumed["fetch_log"]) == sorted(full["fetch_log"])
+
+
+def test_snapshot_prune_keeps_resume(spark, dims, seeds, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snaps2"))
+    run_crawl(spark, CrawlConfig(), dims, list(seeds), max_rounds=3,
+              store=store, keep_snapshots=2)
+    snaps = [e for e in os.listdir(store.root) if e.startswith("round=")]
+    assert len(snaps) <= 2
+    assert store.latest() == 3
+    # the latest snapshot is loadable
+    from larbin_spark.plans.state import CrawlState
+    st = CrawlState.load(spark, store, store.latest())
+    assert st.counters["round"] == 3
