@@ -49,8 +49,10 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
             break
         if cfg.limit_page and st.counters["pages_ok"] >= cfg.limit_page:
             break
-        frontier_size = (st.queues.count() + st.site_fifo.count()
-                         + st.ip_queue.count())
+        c = st.counters
+        frontier_size = (c["n_priority"] + c["n_priority_wait"] + c["n_disk"]
+                         + c["n_disk_wait"] + c["n_site_fifo"]
+                         + c["n_ip_queue"])
         if frontier_size == 0:
             break
         st = runner.run_round(st, rnd)

@@ -152,6 +152,7 @@ class RoundRunner:
             seen_new.append((b,))
             queue = ("priority" if cfg.specific_search and cfg.privileged_exts
                      and match_priv_ext(u.path, cfg.privileged_exts) else "disk")
+            st.counters[f"n_{queue}"] += 1
             rows.append((u.url, u.host, u.port, u.path, u.depth,
                          st.counters["qseq_next"] + len(rows), queue))
         st.counters["qseq_next"] += len(rows)
@@ -186,10 +187,8 @@ class RoundRunner:
 
         # ---------- phase A: wait valve ----------
         if rnd % cfg.valve_period == 0:
-            qc = {r["queue"]: r["n"] for r in
-                  st.queues.groupBy("queue").agg(F.count("*").alias("n")).collect()}
-            C["read_pw"] = qc.get("priority_wait", 0)
-            C["read_w"] = qc.get("disk_wait", 0)
+            C["read_pw"] = C["n_priority_wait"]
+            C["read_w"] = C["n_disk_wait"]
         if rnd % cfg.valve_period == cfg.valve_open:
             C["read_pw"] = 0
             C["read_w"] = 0
@@ -267,9 +266,19 @@ class RoundRunner:
                        if a == slot_logic.A_BOUNCE)
         n_transfer_b = sum(n for (_c, a), n in bstats.items()
                            if a == slot_logic.A_TRANSFER)
+        n_fifo_b = sum(n for (_c, a), n in bstats.items()
+                       if a == slot_logic.A_FIFO)
         C["read_pw"] = max(0, C["read_pw"] - takes_pw)
         C["read_w"] = max(0, C["read_w"] - takes_w)
         C["take_next"] += n_taken
+        for cls in ("priority", "priority_wait", "disk", "disk_wait"):
+            C[f"n_{cls}"] -= sum(n for (c, _a), n in bstats.items() if c == cls)
+        for (c, a), n in bstats.items():
+            if a == slot_logic.A_BOUNCE:
+                C["n_priority_wait" if c.startswith("priority")
+                  else "n_disk_wait"] += n
+        C["n_site_fifo"] += n_fifo_b
+        C["n_ip_queue"] += n_transfer_b
         _mark("B:stats")
 
         queues = st.queues.join(routed.select("qseq"), "qseq", "left_anti")
@@ -324,9 +333,12 @@ class RoundRunner:
                  .select(*SLOTS_SCHEMA.names))
 
         # ---------- phase C: DNS + robots ----------
-        (slots, site_fifo, transfers_c, log_c, n_transfer_c) = self._phase_c(
+        (slots, site_fifo, transfers_c, log_c, n_transfer_c,
+         n_forget_c) = self._phase_c(
             slots, site_fifo, rnd, C["transfer_seq_next"])
         C["transfer_seq_next"] += n_transfer_c
+        C["n_site_fifo"] -= (n_transfer_c + n_forget_c)
+        C["n_ip_queue"] += n_transfer_c
         slots = _lc(slots)
         site_fifo = _lc(site_fifo)
         # link-time fast-fail (initOK) consults slot state as of end of
@@ -358,6 +370,7 @@ class RoundRunner:
             "transfer_seq", "fetch_seq"))
         n_fetched = fetched.count()
         C["fetch_seq_next"] += n_fetched
+        C["n_ip_queue"] -= n_fetched
         _mark("D:fetched")
 
         ip_queue = ip_queue.join(fetched.select("transfer_seq"),
@@ -489,6 +502,9 @@ class RoundRunner:
 
         resolved = _lc(scan_in.groupBy("slot_id")
                        .applyInPandas(phase_c_scan, RESOLVED_SCHEMA))
+        cstats = {r["action"]: r["n"] for r in
+                  resolved.groupBy("action").agg(F.count("*").alias("n"))
+                  .collect()}
 
         # transfers (ordered after phase-B transfers)
         wtr = Window.orderBy("dns_queue_pos", "fifo_pos")
@@ -498,7 +514,8 @@ class RoundRunner:
                                    F.row_number().over(wtr) - 1
                                    + F.lit(transfer_base))
                        .select(*IP_QUEUE_SCHEMA.names))
-        n_transfer_c = transfers_c.count()
+        n_transfer_c = cstats.get(slot_logic.A_TRANSFER, 0)
+        n_forget_c = cstats.get(slot_logic.A_FORGET, 0)
 
         log_c = (resolved.filter(F.col("action") == slot_logic.A_FORGET)
                  .select(F.lit(rnd).alias("round"), "url",
@@ -552,7 +569,8 @@ class RoundRunner:
                          .alias("dns_expire_round"),
                          F.when(F.col("u_processed"), F.col("u_ip_hash"))
                          .otherwise(F.col("ip_hash")).cast("int").alias("ip_hash")))
-        return slots_new, site_fifo_new, transfers_c, log_c, n_transfer_c
+        return (slots_new, site_fifo_new, transfers_c, log_c,
+                n_transfer_c, n_forget_c)
 
     # ---------------- phase E ----------------
 
@@ -725,7 +743,6 @@ class RoundRunner:
             "is_dup", (F.col("brn") > 1) | F.coalesce("seen_hit", F.lit(False))))
 
         novel = survivors.filter(~F.col("is_dup"))
-        n_links_new = novel.count()
 
         if cfg.specific_search and cfg.privileged_exts:
             from ..kernels.urlfilter import match_priv_ext
@@ -745,6 +762,13 @@ class RoundRunner:
             F.col("l_depth").alias("depth"),
             (F.row_number().over(wlink) - 1 + F.lit(qseq_base)).alias("qseq"),
             queue_col.alias("queue"))
+        new_rows = _lc(new_rows)
+        lstats = {r["queue"]: r["n"] for r in
+                  new_rows.groupBy("queue").agg(F.count("*").alias("n"))
+                  .collect()}
+        n_links_new = sum(lstats.values())
+        st.counters["n_priority"] += lstats.get("priority", 0)
+        st.counters["n_disk"] += lstats.get("disk", 0)
         queues = queues.unionByName(new_rows)
         seen = st.seen.unionByName(novel.select("bucket"))
 

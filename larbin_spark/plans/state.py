@@ -129,12 +129,22 @@ class CrawlState:
         tables = {name: spark.createDataFrame([], schema)
                   for name, schema in _SCHEMAS.items()}
         counters = dict(qseq_next=0, transfer_seq_next=0, fetch_seq_next=0,
-                        take_next=0, read_pw=0, read_w=0, pages_ok=0, round=0)
+                        take_next=0, read_pw=0, read_w=0, pages_ok=0, round=0,
+                        # incremental table sizes: valve + termination
+                        # checks use these instead of per-round count()
+                        # jobs (parity tests cross-validate them)
+                        n_priority=0, n_priority_wait=0, n_disk=0,
+                        n_disk_wait=0, n_site_fifo=0, n_ip_queue=0)
         return cls(tables, counters)
 
     def save(self, store: SnapshotStore, rnd: int) -> None:
-        for name in TABLES:
-            store.write_table(rnd, name, self.tables[name])
+        # concurrent writes: the tables are independent jobs and tiny
+        # relative to scheduler overhead, so fan out driver-side
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
+            list(ex.map(
+                lambda name: store.write_table(rnd, name, self.tables[name]),
+                TABLES))
         store.commit(rnd, {"counters": self.counters, "round": rnd})
 
     @classmethod
