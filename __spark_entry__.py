@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann.lsh_topk(_t(spark, sf, "embeddings"), 5, 10, 8)
 
     def q_neardup(spark, sf):
-        return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), 0.90)
+        return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), 0.40)
 
     def q_multimodal(spark, sf):
         from larbin_spark.pipeline import multimodal
@@ -239,7 +239,8 @@ FROM (SELECT user_id % 100 AS bucket, event_id, user_id,
 WHERE rn = 1 ORDER BY bucket""",
         "crawl_seen_antijoin": """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 ORDER BY c_custkey""",
         "crawl_priority_dequeue": """
 SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
@@ -363,5 +364,5 @@ WHERE rank <= 10 ORDER BY query_id, rank""",
 SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
   SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
   FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
-WHERE cos >= 0.90 ORDER BY id_a, id_b""",
+WHERE cos >= 0.40 ORDER BY id_a, id_b""",
     }

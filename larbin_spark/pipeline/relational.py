@@ -38,8 +38,13 @@ def politeness_heads(events: DataFrame, n_buckets: int = 100) -> DataFrame:
 
 
 def antijoin_dedup(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """O-6 analogue: candidates not in the seen set (left anti)."""
-    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+    """O-6 analogue: candidates not in the seen set (left anti).
+
+    The "seen set" is the urgent-order customer list (a non-trivial
+    subset at every SF, unlike all-orders which covers every customer).
+    """
+    seen = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (customer.join(seen, customer.c_custkey == seen.o_custkey,
                           "left_anti")
             .select("c_custkey", "c_name").orderBy("c_custkey"))
 
