@@ -259,6 +259,7 @@ def gen_frontier(n_urls: int, n_hosts: int, seed: int = 42,
     host skew, a controlled duplicate rate. Generated vectorized in
     arrow; no link feedback."""
     import numpy as np
+    import pyarrow.compute  # noqa: F401  (registers pa.compute)
     rng = np.random.default_rng(seed)
     ranks = rng.zipf(1.3, size=n_urls).astype(np.int64) % n_hosts
     page = rng.integers(0, max(1, int(n_urls * (1 - dup_rate))), size=n_urls)

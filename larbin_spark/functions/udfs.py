@@ -48,7 +48,15 @@ def _canon_one(raw: Optional[str], base_host, base_port, base_path):
 @pandas_udf(CANON_SCHEMA)
 def canonicalize_udf(raw: pd.Series, base_host: pd.Series,
                      base_port: pd.Series, base_path: pd.Series) -> pd.DataFrame:
-    """Absolute-or-relative URL canonicalization (O-3)."""
+    """Absolute-or-relative URL canonicalization (O-3).
+
+    Absolute URLs (no base) take the vectorized numpy/pandas fast path
+    (kernels/vectorized.py); relative resolution falls back to the
+    exact scalar kernel row by row.
+    """
+    if base_host.isna().all():
+        from ..kernels.vectorized import canonicalize_batch
+        return canonicalize_batch(raw)
     rows = [
         _canon_one(r, bh, bp, bf)
         for r, bh, bp, bf in zip(raw, base_host, base_port, base_path)
@@ -113,3 +121,77 @@ def parse_robots_udf(body: pd.Series, user_agent: pd.Series) -> pd.Series:
     return pd.Series([
         parse_robots(b or "", ua) for b, ua in zip(body, user_agent)
     ])
+
+
+# --- fused hot-path stage (mapInPandas) ----------------------------
+
+FUSED_SCHEMA = ("host string, port int, path string, bucket long, "
+                "slot_id int, qseq long, depth int")
+
+
+def canon_hash_stage(df, hash_size: int = 64_000_000,
+                     site_size: int = 20_000):
+    """Fused canonicalize (O-3) + seen-bucket hash (O-6 key) +
+    site hash (O-7 key) as ONE mapInPandas stage.
+
+    Why not three pandas UDFs: a filter on a struct-UDF output makes
+    Catalyst evaluate the canonicalizer twice (once under Filter, once
+    under Project — 4 ArrowEvalPython nodes for 3 UDFs), and every UDF
+    is a separate Arrow round-trip. mapInPandas crosses Python once,
+    drops invalid rows in-batch, and runs all three numpy kernels on
+    the same resident frame. Input df needs columns url, qseq, depth.
+    """
+    import numpy as np
+
+    def fn(batches):
+        from ..kernels.vectorized import (
+            canonicalize_batch, site_hash_np, url_hash_np)
+        for pdf in batches:
+            r = canonicalize_batch(pdf["url"])
+            keep = r["valid"].to_numpy(dtype=bool)
+            host = r["host"][keep].reset_index(drop=True)
+            port = r["port"][keep].reset_index(drop=True)
+            path = r["path"][keep].reset_index(drop=True)
+            out = pd.DataFrame({
+                "host": host,
+                "port": port.astype("int32"),
+                "path": path,
+                "bucket": url_hash_np(host, port, path, hash_size),
+                "slot_id": site_hash_np(host, site_size),
+                "qseq": pdf["qseq"].to_numpy()[keep],
+                "depth": pdf["depth"].to_numpy()[keep].astype("int32"),
+            })
+            yield out
+
+    return df.mapInPandas(fn, FUSED_SCHEMA)
+
+
+KEYS_SCHEMA = "bucket long, slot_id int, qseq long"
+
+
+def canon_keys_stage(df, hash_size: int = 64_000_000,
+                     site_size: int = 20_000):
+    """Schedule-on-keys variant of canon_hash_stage: canonicalizes and
+    hashes, but emits ONLY the integer keys (bucket, slot_id, qseq).
+    The scheduling decision needs nothing else; the fetch stage joins
+    payload back by qseq. Keeps every downstream shuffle at ~20 B/row
+    — at a 10^10-row frontier that is the difference between a
+    hundreds-of-GB and a multi-TB shuffle. Input df needs columns
+    url, qseq.
+    """
+    def fn(batches):
+        from ..kernels.vectorized import (
+            canonicalize_batch, site_hash_np, url_hash_np)
+        for pdf in batches:
+            r = canonicalize_batch(pdf["url"])
+            keep = r["valid"].to_numpy(dtype=bool)
+            host = r["host"][keep].reset_index(drop=True)
+            port = r["port"][keep].reset_index(drop=True)
+            path = r["path"][keep].reset_index(drop=True)
+            yield pd.DataFrame({
+                "bucket": url_hash_np(host, port, path, hash_size),
+                "slot_id": site_hash_np(host, site_size).astype("int32"),
+                "qseq": pdf["qseq"].to_numpy()[keep],
+            })
+
+    return df.mapInPandas(fn, KEYS_SCHEMA)

@@ -115,13 +115,15 @@ def canonicalize_batch(raw: pd.Series) -> pd.DataFrame:
         fh = host.to_numpy(dtype=object)
         fp = path.to_numpy(dtype=object)
         fport = port.to_numpy()
-        for i in idx_fast:
-            out_host[i] = fh[i]
-            out_port[i] = fport[i]
-            out_path[i] = fp[i]
-            out_url[i] = (f"http://{fh[i]}{fp[i]}" if fport[i] == 80
-                          else f"http://{fh[i]}:{fport[i]}{fp[i]}")
-            out_valid[i] = True
+        # vectorized "http://host[:port]path" assembly
+        port_sfx = pd.Series(
+            np.where(fport == 80, "", ":" + port.astype(str)), dtype="string")
+        furl = ("http://" + host + port_sfx + path).to_numpy(dtype=object)
+        out_host[idx_fast] = fh[idx_fast]
+        out_port[idx_fast] = fport[idx_fast]
+        out_path[idx_fast] = fp[idx_fast]
+        out_url[idx_fast] = furl[idx_fast]
+        out_valid[idx_fast] = True
     for i in np.nonzero(~fast_np)[0]:
         u = parse_url(s.iloc[i] if s.iloc[i] is not pd.NA else "", 0, None)
         if u is None:
