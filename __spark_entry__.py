@@ -40,7 +40,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from larbin_spark.pipeline import ann, dedup, relational, textstats
+    from larbin_spark.pipeline import (analytics, ann, dedup, relational,
+                                       textstats)
+
+    def q_running_total(spark, sf):
+        return analytics.running_total(_t(spark, sf, "orders"))
+
+    def q_moving_avg(spark, sf):
+        return analytics.moving_avg(_t(spark, sf, "events"), 9)
+
+    def q_sessionize(spark, sf):
+        return analytics.sessionize(_t(spark, sf, "events"), 30)
+
+    def q_rollup(spark, sf):
+        return analytics.rollup_revenue(
+            _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+            _t(spark, sf, "nation"))
+
+    def q_setops(spark, sf):
+        return analytics.snapshot_diff(_t(spark, sf, "orders"))
+
+    def q_asof(spark, sf):
+        return analytics.asof_join(_t(spark, sf, "events"),
+                                   _t(spark, sf, "orders"))
 
     def q_sequencer(spark, sf):
         return relational.sequencer_window(_t(spark, sf, "events"), 5)
@@ -106,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_lsh(spark, sf):
         return ann.lsh_topk(_t(spark, sf, "embeddings"), 5, 10, 8)
 
+    def q_ann_ivf(spark, sf):
+        return ann.ivf_topk(_t(spark, sf, "embeddings"), 5, 10, 8, 2)
+
     def q_neardup(spark, sf):
         return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), 0.40)
 
@@ -137,8 +162,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding_neardup": q_neardup,
         "multimodal_features": q_multimodal,   # no SQL oracle (binary UDF path)
+        "analytics_running_total": q_running_total,
+        "analytics_moving_avg": q_moving_avg,
+        "analytics_sessionize": q_sessionize,
+        "analytics_rollup": q_rollup,
+        "analytics_set_ops": q_setops,
+        "analytics_asof_join": q_asof,
     }
 
 
@@ -360,9 +392,128 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
     ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 5)
 WHERE rank <= 10 ORDER BY query_id, rank""",
+        "ann_ivf_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                             c.c_emb::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.c_emb::DOUBLE[],
+                                      c.c_emb::DOUBLE[]))), 6) DESC,
+               c.cid) AS crn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE crn = 1),
+probes AS (
+  SELECT query_id, q_emb, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                             c.c_emb::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.c_emb::DOUBLE[],
+                                      c.c_emb::DOUBLE[]))), 6) DESC,
+               c.cid) AS prn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5)
+  WHERE prn <= 2)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(p.q_emb::DOUBLE[],
+                                n.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) *
+            sqrt(list_dot_product(n.embedding::DOUBLE[],
+                                  n.embedding::DOUBLE[]))), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(p.q_emb::DOUBLE[],
+                                           n.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) *
+              sqrt(list_dot_product(n.embedding::DOUBLE[],
+                                    n.embedding::DOUBLE[]))), 6) DESC,
+             n.vec_id) AS rank
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings n ON n.vec_id = a.vec_id
+  WHERE n.vec_id <> p.query_id)
+WHERE rank <= 10 ORDER BY query_id, rank""",
         "dedup_embedding_neardup": f"""
 SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
   SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
   FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
 WHERE cos >= 0.40 ORDER BY id_a, id_b""",
+        "analytics_running_total": """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM orders ORDER BY o_custkey, o_orderkey""",
+        "analytics_moving_avg": """
+SELECT user_id, event_id,
+       CAST(floor(
+         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+           OVER w * 1.0 / count(*) OVER w) AS BIGINT) AS mavg_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id""",
+        "analytics_sessionize": """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(event_id) AS first_event,
+       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+        "analytics_rollup": """
+SELECT n_name, o_orderpriority,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         AS revenue_cents,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""",
+        "analytics_set_ops": """
+WITH a AS (SELECT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+SELECT o_custkey, 'urgent_only' AS side
+FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+UNION ALL
+SELECT o_custkey, 'big_only' AS side
+FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+UNION ALL
+SELECT o_custkey, 'both' AS side
+FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+ORDER BY side, o_custkey""",
+        "analytics_asof_join": """
+WITH od AS (
+  SELECT o_custkey AS k, o_orderdate AS t,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id,
+       od.o_orderkey AS asof_orderkey,
+       CAST(floor(od.o_totalprice * 100 + 0.5) AS BIGINT)
+         AS asof_price_cents
+FROM events e ASOF LEFT JOIN od
+  ON e.user_id = od.k AND e.ts >= od.t
+ORDER BY event_id""",
     }

@@ -97,3 +97,59 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cos")
             .orderBy("query_id", "rank"))
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse quantizer: cell = argmax-cosine centroid. Centroids
+    are the first n_cells vectors by vec_id — a deterministic,
+    training-free quantizer so both engines compute identical cells
+    (production would k-means; the pipeline shape is the same).
+    Assignment is a broadcast crossJoin (every IVF assignment is
+    O(N*C)); cosine rounded to 6 decimals before the argmax so FP
+    last-bit differences can't flip a tie across engines."""
+    cent = (embeddings.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("c_emb")))
+    pairs = embeddings.crossJoin(F.broadcast(cent))
+    pairs = pairs.withColumn("ccos", F.round(cosine_expr("embedding", "c_emb"), 6))
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (pairs.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select("vec_id", F.col("cid").alias("cell")))
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+             n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF ANN top-k: queries probe their nprobe closest cells and
+    rank only the vectors assigned to those cells. The candidate join
+    shuffles on the cell id — bounded fan-out, never all-pairs; at
+    10^10 vectors the inverted lists are the partitioning."""
+    cent = (embeddings.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("c_emb")))
+    q = (embeddings.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    probes = q.crossJoin(F.broadcast(cent))
+    probes = probes.withColumn("pcos",
+                               F.round(cosine_expr("q_emb", "c_emb"), 6))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cid"))
+    probes = (probes.withColumn("prn", F.row_number().over(wp))
+              .filter(F.col("prn") <= nprobe)
+              .select("query_id", "q_emb", F.col("cid").alias("cell")))
+
+    assign = ivf_assign(embeddings, n_cells)
+    cand = (embeddings.join(assign, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("n_emb"), "cell"))
+    pairs = (probes.join(cand, "cell")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    pairs = pairs.withColumn("cos", F.round(cosine_expr("q_emb", "n_emb"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "neighbor_id", "cos")
+            .orderBy("query_id", "rank"))
