@@ -76,3 +76,68 @@ def windowed_submission_rate(spark: SparkSession, drop_dir: str,
     return (df.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window), "host")
             .agg(F.count("*").alias("n")))
+
+
+SESSION_STATE_SCHEMA = "n_urls LONG, first_ts TIMESTAMP"
+SESSION_OUT_SCHEMA = ("host STRING, session_urls LONG, "
+                      "session_seconds DOUBLE, closed BOOLEAN")
+
+
+def host_session_tracker(spark: SparkSession, drop_dir: str,
+                         gap_seconds: int = 30):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host submission sessions with a gap timeout — the streaming
+    analogue of the batch sessionize() in pipeline/analytics.py and
+    the kind of per-key mutable state (NamedSite fifo occupancy,
+    site.cxx:61-121) that has no built-in streaming counterpart.
+
+    State per host = (url count, first-seen ts). A host whose state
+    sees no update for gap_seconds emits a closed session row via
+    timeout and clears. Returns an unstarted streaming DataFrame;
+    drive with foreachBatch/memory sink + processingTime trigger.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+
+    lines = (spark.readStream.format("text").load(drop_dir)
+             .withColumn("ts", F.current_timestamp()))
+    parts = F.split(F.col("value"), " ", 4)
+    df = lines.select("ts", parts.getItem(3).alias("raw_url"))
+    df = df.withColumn("c", canonicalize_udf(
+        "raw_url", F.lit(None), F.lit(None), F.lit(None)))
+    df = df.filter(F.col("c.valid")) \
+           .select("ts", F.col("c.host").alias("host"))
+
+    def track(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.hasTimedOut:
+            (n, first_ts) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "host": [host], "session_urls": [n],
+                "session_seconds": [float(gap_seconds)],
+                "closed": [True]})
+            return
+        n, first_ts = state.get if state.exists else (0, None)
+        last_ts = first_ts
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            t0 = pdf["ts"].min()
+            t1 = pdf["ts"].max()
+            first_ts = t0 if first_ts is None else min(first_ts, t0)
+            last_ts = t1 if last_ts is None else max(last_ts, t1)
+        state.update((n, first_ts))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        dur = 0.0
+        if first_ts is not None and last_ts is not None:
+            dur = (last_ts - first_ts).total_seconds()
+        yield pd.DataFrame({
+            "host": [host], "session_urls": [n],
+            "session_seconds": [dur], "closed": [False]})
+
+    return (df.groupBy("host").applyInPandasWithState(
+        track, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.ProcessingTimeTimeout))

@@ -60,3 +60,23 @@ def test_windowed_rate_plan_is_streaming(spark, tmp_path):
     # passes; with a single micro-batch the table may be empty -- the
     # assertion is that the watermark+window plan executes
     assert spark.table("subrate").columns == ["window", "host", "n"]
+
+
+def test_host_session_tracker_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-host state accumulates across
+    micro-batches and emits running session rows."""
+    from larbin_spark.streaming.input_stream import host_session_tracker
+    drop = tmp_path / "drop3"
+    drop.mkdir()
+    (drop / "b1.txt").write_text(
+        "0 4 1 http://a.com/x.html\n0 4 1 http://a.com/y.html\n"
+        "0 4 1 http://b.com/z.html\n")
+    df = host_session_tracker(spark, str(drop), gap_seconds=300)
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["host"]: r for r in spark.table("sessions").collect()}
+    assert rows["a.com"]["session_urls"] == 2
+    assert rows["b.com"]["session_urls"] == 1
+    assert rows["a.com"]["closed"] is False
