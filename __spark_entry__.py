@@ -70,6 +70,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_politeness(spark, sf):
         return relational.politeness_heads(_t(spark, sf, "events"), 100)
 
+    def q_sequencer_salted(spark, sf):
+        from larbin_spark.operators.skew import salted_per_key_topk
+        out = salted_per_key_topk(
+            _t(spark, sf, "events").select("user_id", "event_id", "ts"),
+            ["user_id"], ["ts", "event_id"], 5, n_salts=16,
+            rank_name="fifo_rank")
+        from pyspark.sql import functions as FF
+        return (out.select("user_id", "event_id",
+                           FF.col("fifo_rank").cast("int").alias("fifo_rank"))
+                .orderBy("user_id", "fifo_rank"))
+
     def q_antijoin(spark, sf):
         return relational.antijoin_dedup(_t(spark, sf, "customer"),
                                          _t(spark, sf, "orders"))
@@ -144,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_sequencer_cap": q_sequencer,
         "crawl_politeness_heads": q_politeness,
+        "crawl_sequencer_cap_salted": q_sequencer_salted,
         "crawl_seen_antijoin": q_antijoin,
         "crawl_priority_dequeue": q_priority,
         "crawl_frontier_merge": q_merge,
@@ -269,6 +281,12 @@ FROM (SELECT user_id % 100 AS bucket, event_id, user_id,
                                 ORDER BY ts, event_id) rn
       FROM events)
 WHERE rn = 1 ORDER BY bucket""",
+        "crawl_sequencer_cap_salted": """
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS fifo_rank
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      FROM events)
+WHERE rn <= 5 ORDER BY user_id, fifo_rank""",
         "crawl_seen_antijoin": """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
