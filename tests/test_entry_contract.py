@@ -40,7 +40,12 @@ def _norm(v):
 
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # stringify for the sort only (rollup/grouping rows carry NULLs,
+    # which have no order vs str) — equality still compares _norm'd
+    # tuples, so "1" (str) never collides with 1 (int)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows),
+                  key=lambda t: tuple((v is None, str(type(v)), str(v))
+                                      for v in t))
 
 
 QUERIES = entrymod.queries()
