@@ -137,13 +137,19 @@ class CrawlState:
                         n_disk_wait=0, n_site_fifo=0, n_ip_queue=0)
         return cls(tables, counters)
 
+    # membership tables are bucket-range sharded + sorted (SCALE.md §3:
+    # pruned probes, sorted shard merges); everything else coalesces
+    _RANGE_SHARDED = {"seen": "bucket", "dup_seen": "bucket"}
+
     def save(self, store: SnapshotStore, rnd: int) -> None:
         # concurrent writes: the tables are independent jobs and tiny
         # relative to scheduler overhead, so fan out driver-side
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
             list(ex.map(
-                lambda name: store.write_table(rnd, name, self.tables[name]),
+                lambda name: store.write_table(
+                    rnd, name, self.tables[name],
+                    range_col=self._RANGE_SHARDED.get(name)),
                 TABLES))
         store.commit(rnd, {"counters": self.counters, "round": rnd})
 

@@ -37,9 +37,21 @@ class SnapshotStore:
         return os.path.join(self.root, f"round={rnd:06d}")
 
     def write_table(self, rnd: int, name: str, df: DataFrame,
-                    parts: int = 4) -> None:
+                    parts: int = 4, range_col: Optional[str] = None) -> None:
+        """range_col: shard the table by range of that column and sort
+        each file by it (docs/SCALE.md §3): files carry tight parquet
+        min/max stats on the key, so membership probes prune to one
+        shard and shard merges are sorted merges. This is the seam
+        Iceberg `bucket(col, N)` partitioning fills on a real
+        cluster; `parts` is sized per table (thousands for the
+        10^10-row seen set, a handful at fixture scale)."""
         path = os.path.join(self._snap_dir(rnd), name)
-        df.coalesce(parts).write.mode("overwrite").parquet(path)
+        if range_col is not None:
+            out = (df.repartitionByRange(parts, range_col)
+                   .sortWithinPartitions(range_col))
+        else:
+            out = df.coalesce(parts)
+        out.write.mode("overwrite").parquet(path)
 
     def read_table(self, spark: SparkSession, rnd: int, name: str,
                    schema=None) -> DataFrame:
