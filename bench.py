@@ -136,6 +136,31 @@ def run_headline(spark) -> dict:
     return times
 
 
+def run_crawl_rounds(spark, n_rounds: int = 3) -> dict:
+    """The real product pipeline: full parity crawl rounds (sequencer,
+    DNS/robots joins, politeness, simulated fetch, link extraction,
+    seen anti-join, snapshot commit) over a 200-host synthetic web.
+    Per-round wall is dominated by the fixed ~10-job driver cadence —
+    the number that matters at 10^10 is that it stays fixed while the
+    per-job data scales out (docs/SCALE.md §6)."""
+    import tempfile
+    from larbin_spark.config import CrawlConfig
+    from larbin_spark.fixtures.webgen import gen_web, write_parquet
+    from larbin_spark.plans.crawl import run_crawl
+    web = gen_web(n_hosts=200, base_pages=20)
+    d = tempfile.mkdtemp(prefix="bench_web_")
+    write_parquet(web, d)
+    dims = {n: spark.read.parquet(f"{d}/{n}.parquet")
+            for n in ("documents", "hosts", "robots")}
+    seeds = [s["url"] for s in sorted(web["seeds"],
+                                      key=lambda s: s["order"])]
+    t0 = time.time()
+    st = run_crawl(spark, CrawlConfig(), dims, seeds, max_rounds=n_rounds)
+    dt = time.time() - t0
+    return {"crawl_round_sec": round(dt / n_rounds, 3),
+            "crawl_pages_ok": st.counters["pages_ok"]}
+
+
 def sched_child(cores: int, frontier_path: str) -> None:
     """Subprocess entry: one scheduling round at the given parallelism.
     Each level runs in a fresh interpreter (a second SparkContext in
@@ -221,6 +246,7 @@ def main() -> None:
     spark_b = make_spark(CPUS)
     spark_b.sparkContext.setLogLevel("ERROR")
     qtimes = run_headline(spark_b)
+    qtimes.update(run_crawl_rounds(spark_b))
     spark_b.stop()
 
     queries = dict(qtimes)
