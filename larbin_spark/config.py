@@ -61,6 +61,13 @@ class CrawlConfig:
     max_rounds: int = 0              # 0 = until frontier empty
     limit_page: int = 0              # 0 = unbounded successful pages
 
+    # seen-membership probe strategy (operators/membership.py): when
+    # True and hash_size fits a broadcast (8 MB at the reference's
+    # 64M), the per-round URL-seen probe is a broadcast-bitmap bit
+    # test instead of a join against the seen table. Identical
+    # semantics (bit set <-> bucket in seen); parity tests run both.
+    seen_bitmap_broadcast: bool = False
+
     def to_dict(self) -> dict:
         return asdict(self)
 

@@ -93,3 +93,48 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
             .select("media_id", F.explode(F.sequence(
                 F.lit(0), n_frames - 1)).alias("frame_idx"))
             .withColumn("ts_ms", F.col("frame_idx") * every_ms))
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Image resize stage: mapInPandas over binary payloads emitting
+    resized payloads + updated metadata. The pixel transform is
+    STUBBED like decode_image (no imaging library in this container):
+    with fake=True the 'resized' payload is a deterministic digest
+    expansion of (payload, width, height), so downstream plumbing —
+    schema evolution, metadata rewrite, batch shapes — is real and
+    regression-testable; without fake it raises NotImplementedError.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "image":
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires an imaging library; run "
+                        "with fake=True for the deterministic stub")
+                seed = hashlib.sha256(
+                    bytes(row.payload) + f":{width}x{height}".encode()
+                ).digest()
+                n_out = max(1, width * height // 16)
+                payload = (seed * (n_out // len(seed) + 1))[:n_out]
+                meta = dict(row.meta)  # struct arrives as a dict
+                meta.update(width=width, height=height)
+                out.append((row.media_id, row.kind, bytearray(payload),
+                            {"mime": meta["mime"],
+                             "width": int(meta["width"]),
+                             "height": int(meta["height"]),
+                             "duration_ms": int(meta["duration_ms"])}))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "payload", "meta"])
+
+    return media.mapInPandas(gen, out_schema)

@@ -737,10 +737,20 @@ class RoundRunner:
                                      F.lit(cfg.hash_size)))
         wdedup = Window.partitionBy("bucket").orderBy("fetch_seq", "link_idx")
         survivors = survivors.withColumn("brn", F.row_number().over(wdedup))
-        seen_hit = st.seen.withColumn("seen_hit", F.lit(True))
-        survivors = survivors.join(seen_hit, "bucket", "left")
+        if cfg.seen_bitmap_broadcast:
+            # map-side bit test against the broadcast bitmap — same
+            # semantics as the join (membership.py docstring), no
+            # shuffle of the candidate set against seen
+            from ..operators.membership import seen_bitmap, with_bitmap_hit
+            bm = seen_bitmap(st.seen, cfg.hash_size)
+            survivors = with_bitmap_hit(survivors, bm, "bucket", "seen_hit")
+        else:
+            seen_hit = st.seen.withColumn("seen_hit", F.lit(True))
+            survivors = (survivors.join(seen_hit, "bucket", "left")
+                         .withColumn("seen_hit",
+                                     F.coalesce("seen_hit", F.lit(False))))
         survivors = _lc(survivors.withColumn(
-            "is_dup", (F.col("brn") > 1) | F.coalesce("seen_hit", F.lit(False))))
+            "is_dup", (F.col("brn") > 1) | F.col("seen_hit")))
 
         novel = survivors.filter(~F.col("is_dup"))
 

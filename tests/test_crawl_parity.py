@@ -88,3 +88,12 @@ def test_metrics_lineage_populated(spark_result):
     assert {r["error"] for r in rows} >= {"success"}
     parts = st.metrics.select("partition_id").distinct().count()
     assert parts >= 1
+
+
+def test_bitmap_probe_matches_join_probe(spark, dims, seeds, spark_result):
+    """cfg.seen_bitmap_broadcast swaps the URL-seen probe from an
+    anti-join to a broadcast-bitmap bit test; crawl results must be
+    byte-identical."""
+    cfg = CrawlConfig(seen_bitmap_broadcast=True)
+    st = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS)
+    assert collect_results(st) == spark_result[0]

@@ -39,3 +39,16 @@ def test_frame_sample_plan(spark):
     assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in plan)
     vids = media.filter("kind = 'video'").count()
     assert len({r["media_id"] for r in plan}) == vids
+
+
+def test_resize_stub_deterministic(spark):
+    from larbin_spark.pipeline.multimodal import resize_images
+    media = make_media_table(spark, 30)
+    a = {r["media_id"]: bytes(r["payload"])
+         for r in resize_images(media, 64, 64).collect()}
+    b = {r["media_id"]: bytes(r["payload"])
+         for r in resize_images(make_media_table(spark, 30), 64, 64).collect()}
+    assert a == b and len(a) == 10           # images only (every 3rd)
+    c = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+    assert all(r["meta"]["width"] == 32 for r in c.values())
+    assert bytes(c["m0000"]["payload"]) != a["m0000"]  # size-dependent
