@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dedup.simhash64(_t(spark, sf, "documents"))
 
+    def q_clusters(spark, sf):
+        return dedup.minhash_clusters(_t(spark, sf, "documents"), 16, 4, 3)
+
     def q_langid(spark, sf):
         return textstats.lang_id(_t(spark, sf, "documents"))
 
@@ -168,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
+        "dedup_clusters": q_clusters,
         "text_lang_id": q_langid,
         "text_quality": q_quality,
         "text_token_counts": q_tokens,
@@ -353,6 +357,22 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+banded AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+walk(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a)
+SELECT n AS doc_id, min(m) AS cluster_id FROM walk
+GROUP BY n ORDER BY doc_id""",
         "dedup_simhash": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -145,3 +145,52 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     return (pairs.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
             .orderBy("id_a", "id_b"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    duplicate-cluster step of a fuzzy-dedup pipeline (candidate pairs
+    -> clusters -> keep one doc per cluster). Genuinely iterative
+    (driver loop, no SQL equivalent at scale): each pass joins labels
+    to edges, takes the min over a node's neighborhood, and stops at
+    fixpoint. Converges in O(diameter) passes; every pass is one
+    shuffle on the node id, labels stay (node, label) ints. Returns
+    (node, cluster_id = min node id of the component).
+    """
+    edges = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .unionByName(pairs.select(F.col(b_col).alias("a"),
+                                       F.col(a_col).alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels, edges.b == labels.node)
+                   .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min, labels.node == nbr_min.a, "left")
+                      .select("node",
+                              F.least("label",
+                                      F.coalesce("nbr_label", "label"))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def minhash_clusters(documents: DataFrame, n_hashes: int = 16,
+                     bands: int = 4, k: int = 3) -> DataFrame:
+    """Fuzzy-dedup end-to-end: MinHash+LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id). Docs with no
+    candidate partner are their own cluster and are omitted (only
+    multi-doc clusters need a keep-one decision)."""
+    cand = minhash_lsh_candidates(documents, n_hashes, bands, k)
+    cc = connected_components(cand)
+    return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))

@@ -78,3 +78,15 @@ def test_rollup_has_grand_total(spark, ):
              and r["o_orderpriority"] is None]
     assert len(grand) == 1 and grand[0]["revenue_cents"] == 4000
     assert len(rows) == 4  # 2 leaves + nation subtotal + grand total
+
+
+def test_connected_components_chain_and_island(spark):
+    from larbin_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),       # chain -> one component, min 1
+         (10, 11),                     # island pair
+         (20, 21), (21, 20)],          # duplicate edge both ways
+        "id_a long, id_b long")
+    out = {r["node"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
