@@ -22,20 +22,23 @@ from pyspark.sql import functions as F
 from ..functions.udfs import canonicalize_udf, url_bucket_udf
 
 
-def parse_submissions(lines: DataFrame, hash_size: int = 64_000_000) -> DataFrame:
-    """lines(value: string) -> frontier-delta rows with bucket ids."""
+def parse_submissions(lines: DataFrame, hash_size: int = 64_000_000,
+                      keep=()) -> DataFrame:
+    """lines(value: string) -> frontier-delta rows with bucket ids.
+    `keep`: extra input columns carried through (e.g. an ingest ts)."""
     parts = F.split(F.col("value"), " ", 4)
     df = lines.select(
         parts.getItem(0).cast("int").alias("priority"),
         parts.getItem(1).cast("int").alias("depth"),
         parts.getItem(2).cast("int").alias("test"),
-        parts.getItem(3).alias("raw_url"))
+        parts.getItem(3).alias("raw_url"), *keep)
     df = df.withColumn("c", canonicalize_udf(
         "raw_url", F.lit(None), F.lit(None), F.lit(None)))
     df = (df.filter(F.col("c.valid"))
           .select("priority", "depth", "test",
                   F.col("c.url").alias("url"), F.col("c.host").alias("host"),
-                  F.col("c.port").alias("port"), F.col("c.path").alias("path")))
+                  F.col("c.port").alias("port"), F.col("c.path").alias("path"),
+                  *keep))
     df = df.withColumn("bucket", url_bucket_udf(
         "host", "port", "path", F.lit(hash_size)))
     return df.withColumn(
@@ -141,3 +144,35 @@ def host_session_tracker(spark: SparkSession, drop_dir: str,
     return (df.groupBy("host").applyInPandasWithState(
         track, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
         "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def deduped_submission_stream(spark: SparkSession, drop_dir: str,
+                              out_dir: str, checkpoint_dir: str,
+                              hash_size: int = 64_000_000,
+                              watermark: str = "10 minutes"):
+    """O-2 + O-6 in streaming form: intake with in-stream URL-seen
+    dedup. dropDuplicatesWithinWatermark on the seen bucket keeps
+    exactly one row per bucket among events inside the watermark —
+    the streaming analogue of the batch first-wins dedup; the batch
+    anti-join against the durable seen table still runs when the
+    staged rows enter a crawl round (state here is bounded by the
+    watermark, the authoritative set is the table).
+
+    `test=0` rows (force-set) bypass the in-stream dedup — the
+    reference sets the bit without checking (input.cxx:125-160)."""
+    lines = (spark.readStream.format("text")
+             .option("maxFilesPerTrigger", 16)
+             .load(drop_dir)
+             .withColumn("ts", F.current_timestamp()))
+    delta = parse_submissions(lines, hash_size, keep=("ts",))
+    test_rows = (delta.filter(~F.col("force_seen"))
+                 .withWatermark("ts", watermark)
+                 .dropDuplicatesWithinWatermark(["bucket"]))
+    force_rows = delta.filter(F.col("force_seen"))
+    out = test_rows.unionByName(force_rows).drop("ts")
+    return (out.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -80,3 +80,24 @@ def test_host_session_tracker_stateful(spark, tmp_path):
     assert rows["a.com"]["session_urls"] == 2
     assert rows["b.com"]["session_urls"] == 1
     assert rows["a.com"]["closed"] is False
+
+
+def test_deduped_submission_stream(spark, tmp_path):
+    """In-stream URL-seen dedup: duplicate submissions inside the
+    watermark collapse to one row; force-seen rows bypass."""
+    from larbin_spark.streaming.input_stream import deduped_submission_stream
+    drop = tmp_path / "drop4"
+    drop.mkdir()
+    (drop / "b1.txt").write_text(
+        "0 4 1 http://a.com/x.html\n"
+        "0 4 1 http://a.com/x.html\n"          # duplicate -> dropped
+        "0 4 1 http://b.com/y.html\n"
+        "0 4 0 http://a.com/x.html\n")         # force-seen -> kept
+    out, ckpt = tmp_path / "out4", tmp_path / "ckpt4"
+    q = deduped_submission_stream(spark, str(drop), str(out), str(ckpt))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    urls = sorted((r["url"], r["force_seen"]) for r in rows)
+    assert urls == [("http://a.com/x.html", False),
+                    ("http://a.com/x.html", True),
+                    ("http://b.com/y.html", False)]
