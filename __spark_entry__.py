@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_clusters(spark, sf):
         return dedup.minhash_clusters(_t(spark, sf, "documents"), 16, 4, 3)
 
+    def q_keep_best(spark, sf):
+        return dedup.keep_best_per_cluster(_t(spark, sf, "documents"),
+                                           16, 4, 3)
+
     def q_langid(spark, sf):
         return textstats.lang_id(_t(spark, sf, "documents"))
 
@@ -172,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
         "dedup_clusters": q_clusters,
+        "dedup_keep_best": q_keep_best,
         "text_lang_id": q_langid,
         "text_quality": q_quality,
         "text_token_counts": q_tokens,
@@ -373,6 +378,38 @@ walk(n, m) AS (
   SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a)
 SELECT n AS doc_id, min(m) AS cluster_id FROM walk
 GROUP BY n ORDER BY doc_id""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+banded AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+walk(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a),
+cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM walk GROUP BY n),
+qual AS (
+  SELECT doc_id,
+         round(CASE WHEN len(string_split(text, ' ')) < 5 THEN 0.0
+               ELSE least(1.0, len(string_split(text, ' ')) / 200.0) * 0.5
+                    + least(1.0, (({stop_en}) /
+                                  len(string_split(text, ' '))) * 5) * 0.5
+               END, 4) AS quality
+  FROM documents),
+ranked AS (
+  SELECT cluster_id, cc.doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, cc.doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM cc JOIN qual ON qual.doc_id = cc.doc_id)
+SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality,
+       cluster_size
+FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
         "dedup_simhash": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

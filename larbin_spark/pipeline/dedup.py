@@ -194,3 +194,31 @@ def minhash_clusters(documents: DataFrame, n_hashes: int = 16,
     cc = connected_components(cand)
     return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
             .orderBy("doc_id"))
+
+
+def keep_best_per_cluster(documents: DataFrame, n_hashes: int = 16,
+                          bands: int = 4, k: int = 3) -> DataFrame:
+    """Quality-aware fuzzy dedup, end to end: cluster near-duplicates
+    (MinHash -> LSH -> connected components), score each doc
+    (textstats.quality_score), and keep the highest-quality doc per
+    cluster (ties -> smallest doc_id). Docs outside any multi-doc
+    cluster are kept implicitly; output lists one keeper per cluster
+    with the cluster size — the drop set is every clustered doc not
+    in this list. Joins are on doc_id/cluster_id ints; the quality
+    score is a rounded column so the argmax is engine-portable."""
+    from .textstats import quality_score
+    clusters = minhash_clusters(documents, n_hashes, bands, k)
+    q = quality_score(documents).select("doc_id", "quality")
+    scored = clusters.join(q, "doc_id")
+    return (scored.groupBy("cluster_id")
+            .agg(F.max_by(F.struct(F.col("quality"),
+                                   (-F.col("doc_id")).alias("neg_id")),
+                          F.struct(F.col("quality"),
+                                   (-F.col("doc_id")).alias("neg_id")))
+                 .alias("best"),
+                 F.count("*").alias("cluster_size"))
+            .select("cluster_id",
+                    (-F.col("best.neg_id")).alias("keep_id"),
+                    F.col("best.quality").alias("keep_quality"),
+                    "cluster_size")
+            .orderBy("cluster_id"))
