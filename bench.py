@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "4000000"))
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 FRONTIER_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "50000"))
 

@@ -51,12 +51,63 @@ def _pad_matrix(strs: List[bytes]) -> Tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+def _arrow_bytes(strs: pd.Series):
+    """(data, starts, lens, all_ascii) from a string Series via the
+    Arrow buffers — no per-row Python. Returns None when the column
+    isn't cleanly convertible (caller falls back to the loop path).
+    all_ascii matters for parity: the scalar kernel hashes latin-1
+    bytes of the C string, Arrow stores UTF-8 — identical only for
+    pure-ASCII values (which canonicalized hosts/paths always are)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.Array.from_pandas(strs.fillna(""))
+        arr = pc.fill_null(arr, "").cast(pa.large_string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n_chars = pc.utf8_length(arr)
+        n_bytes = pc.binary_length(arr)
+        all_ascii = bool(pc.all(pc.equal(n_chars, n_bytes)).as_py()) \
+            if len(arr) else True
+        offsets = np.frombuffer(arr.buffers()[1], np.int64,
+                                count=len(arr) + 1 + arr.offset)
+        offsets = offsets[arr.offset:]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        starts = offsets[:-1].copy()
+        lens = (offsets[1:] - offsets[:-1]).copy()
+        return data, starts, lens, all_ascii
+    except Exception:
+        return None
+
+
+def _poly_fold_flat(h: np.ndarray, data: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray, mult: np.uint32) -> np.ndarray:
+    """Column-wise polynomial fold straight off the flat Arrow data
+    buffer — no padded-matrix materialization, so one long outlier
+    string costs O(n) per extra column, never O(n*width) memory."""
+    width = int(lens.max()) if len(lens) else 0
+    for j in range(width):
+        mask = lens > j
+        if not mask.any():
+            break
+        c = data[starts[mask] + j].astype(np.uint32)
+        c = c + np.where(c >= 128, np.uint32(0xFFFFFF00), np.uint32(0))
+        h[mask] = h[mask] * mult + c
+    return h
+
+
 def url_hash_np(host: pd.Series, port: pd.Series, path: pd.Series,
                 hash_size: int = HASH_SIZE) -> np.ndarray:
     """Vectorized url::hashCode (url.cxx:474-482)."""
-    hb = [(h or "").encode("latin-1") for h in host]
-    pb = [(p or "").encode("latin-1") for p in path]
-    h = port.to_numpy(dtype=np.int64).astype(np.uint32)
+    h = np.asarray(port, dtype=np.int64).astype(np.uint32)
+    ab_h = _arrow_bytes(host)
+    ab_p = _arrow_bytes(path)
+    if ab_h is not None and ab_p is not None and ab_h[3] and ab_p[3]:
+        h = _poly_fold_flat(h, *ab_h[:3], np.uint32(31))
+        h = _poly_fold_flat(h, *ab_p[:3], np.uint32(31))
+        return (h % np.uint32(hash_size)).astype(np.int64)
+    hb = [(x or "").encode("latin-1") for x in host]
+    pb = [(x or "").encode("latin-1") for x in path]
     m1, l1 = _pad_matrix(hb)
     h = _poly_fold(h, m1, l1, np.uint32(31))
     m2, l2 = _pad_matrix(pb)
@@ -66,7 +117,12 @@ def url_hash_np(host: pd.Series, port: pd.Series, path: pd.Series,
 
 def site_hash_np(host: pd.Series, size: int = 20_000) -> np.ndarray:
     """Vectorized siteHashCode (url.cxx:40-46)."""
-    hb = [(h or "").encode("latin-1") for h in host]
+    ab = _arrow_bytes(host)
+    if ab is not None and ab[3]:
+        h = np.zeros(len(host), dtype=np.uint32)
+        h = _poly_fold_flat(h, *ab[:3], np.uint32(37))
+        return (h % np.uint32(size)).astype(np.int32)
+    hb = [(x or "").encode("latin-1") for x in host]
     m, lens = _pad_matrix(hb)
     h = np.zeros(len(hb), dtype=np.uint32)
     h = _poly_fold(h, m, lens, np.uint32(37))
@@ -85,7 +141,92 @@ _SLOW_PATH_RE = r"(?:%|//|/\.|\\|#|\?)"
 
 def canonicalize_batch(raw: pd.Series) -> pd.DataFrame:
     """Vectorized absolute-URL canonicalization with exact-kernel
-    fallback. Returns columns host, port, path, url, valid."""
+    fallback. Returns columns host, port, path, url, valid.
+
+    The screen/extract/assemble steps run in pyarrow.compute (RE2 +
+    C++ string kernels — pandas .str.* loops Python's sre per row and
+    is ~5x slower); only URLs the fast regex rejects hit the exact
+    scalar state machine."""
+    try:
+        return _canonicalize_batch_arrow(raw)
+    except Exception:
+        return _canonicalize_batch_pandas(raw)
+
+
+_FAST_RE_NAMED = (r"^http://(?P<host>[A-Za-z0-9.\-]+)(?::(?P<port>\d+))?"
+                  r"(?P<path>/(?:[A-Za-z0-9_\-.~!$&'()*+,;=:@/]*)?)?$")
+
+
+def _canonicalize_batch_arrow(raw: pd.Series) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(pa.Array.from_pandas(raw.astype(object)), "")
+    n = len(arr)
+    ext = pc.extract_regex(arr, _FAST_RE_NAMED)
+    matched = pc.is_valid(ext)
+    host0 = pc.struct_field(ext, "host")
+    port0 = pc.struct_field(ext, "port")
+    path0 = pc.fill_null(
+        pc.if_else(pc.equal(pc.struct_field(ext, "path"), ""), "/",
+                   pc.struct_field(ext, "path")), "/")
+    # fast path must not need path normalization ('//', '/.'; trailing
+    # '.'); the regex char class already excludes % # ? \\
+    fast = pc.and_(matched, pc.invert(
+        pc.match_substring_regex(path0, r"//|/\.")))
+    fast = pc.and_(fast, pc.invert(pc.ends_with(path0, ".")))
+    host_len = pc.binary_length(pc.fill_null(host0, ""))
+    path_len = pc.binary_length(path0)
+    # size caps (url.cxx:316-322)
+    fast = pc.and_(fast, pc.less(host_len, MAX_SITE_SIZE))
+    fast = pc.and_(fast, pc.less(pc.add(pc.add(host_len, path_len), 18),
+                                 MAX_URL_SIZE))
+    fast_np = pc.fill_null(fast, False).to_numpy(zero_copy_only=False)
+
+    host = pc.ascii_lower(pc.fill_null(host0, ""))
+    port_s = pc.fill_null(port0, "")
+    # >5-digit ports take the exact scalar path (overflow semantics
+    # belong to the state machine, not to a cast)
+    fast = pc.and_(fast, pc.less_equal(pc.binary_length(port_s), 5))
+    port_num = pc.cast(pc.if_else(pc.equal(port_s, ""), "80", port_s),
+                       pa.int64(), safe=False)
+    port16 = pc.if_else(pc.is_null(port_num), pa.scalar(80, pa.int64()),
+                        pc.bit_wise_and(port_num, 65535))
+    port_sfx = pc.if_else(pc.equal(port16, 80), "",
+                          pc.binary_join_element_wise(
+                              ":", pc.cast(port16, pa.string()), ""))
+    url = pc.binary_join_element_wise("http://", host, port_sfx, path0, "")
+
+    out_host = np.empty(n, dtype=object)
+    out_port = np.zeros(n, dtype=np.int64)
+    out_path = np.empty(n, dtype=object)
+    out_url = np.empty(n, dtype=object)
+    out_valid = np.zeros(n, dtype=bool)
+
+    idx_fast = np.nonzero(fast_np)[0]
+    if len(idx_fast):
+        out_host[idx_fast] = np.asarray(host, dtype=object)[idx_fast]
+        out_port[idx_fast] = port16.to_numpy(
+            zero_copy_only=False)[idx_fast]
+        out_path[idx_fast] = np.asarray(path0, dtype=object)[idx_fast]
+        out_url[idx_fast] = np.asarray(url, dtype=object)[idx_fast]
+        out_valid[idx_fast] = True
+    if len(idx_fast) < n:
+        raw_np = np.asarray(arr, dtype=object)
+        for i in np.nonzero(~fast_np)[0]:
+            u = parse_url(raw_np[i] or "", 0, None)
+            if u is None:
+                out_valid[i] = False
+            else:
+                out_host[i], out_port[i], out_path[i] = u.host, u.port, u.path
+                out_url[i] = u.url
+                out_valid[i] = True
+    return pd.DataFrame({
+        "host": out_host, "port": out_port, "path": out_path,
+        "url": out_url, "valid": out_valid})
+
+
+def _canonicalize_batch_pandas(raw: pd.Series) -> pd.DataFrame:
     s = raw.astype("string")
     m = s.str.extract(_FAST_RE)
     fast = m[0].notna()
