@@ -1,0 +1,51 @@
+"""Spark-vs-oracle parity across the behavior-flag space: the main
+parity suite pins the default configuration; this matrix pins the
+conditional code paths (content dedup, site locking, depth reset,
+priority routing, media links, robots bypass, round budgets)."""
+
+import os
+
+import pytest
+
+from larbin_spark.config import CrawlConfig
+from larbin_spark.fixtures.webgen import to_oracle_inputs
+from larbin_spark.oracle.simulator import CrawlOracle
+from larbin_spark.plans.crawl import collect_results, run_crawl
+
+ROUNDS = int(os.environ.get("SPARK_GRAFT_PARITY_CFG_ROUNDS", "5"))
+
+CONFIGS = {
+    "content_dedup": dict(page_no_duplicate=True, any_type=True),
+    "lock_site": dict(lock_site=True),
+    "depth_by_site": dict(depth_by_site=True),
+    "specific_search": dict(specific_search=True,
+                            privileged_exts=[".html"]),
+    "get_image": dict(get_image=True),
+    "ignore_robots": dict(ignore_robots=True),
+    "budgets": dict(fetch_cap_per_round=7, dns_per_round=3,
+                    seq_per_round=40),
+}
+
+
+@pytest.fixture(scope="module")
+def dims(spark, fixture_dir):
+    return {n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
+            for n in ("documents", "hosts", "robots")}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_config_parity(spark, dims, fixture_web, seeds, name):
+    cfg = CrawlConfig(**CONFIGS[name])
+    st = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS)
+    sres = collect_results(st)
+
+    docs, hosts, robots, _ = to_oracle_inputs(fixture_web)
+    ores = CrawlOracle(CrawlConfig(**CONFIGS[name]), docs, hosts,
+                       robots).run(list(seeds), max_rounds=ROUNDS)
+
+    assert sres["ordering"] == ores["ordering"], f"{name}: ordering"
+    assert set(sres["seen"]) == set(ores["seen"]), f"{name}: seen"
+    assert sres["errors"] == ores["errors"], f"{name}: errors"
+    assert sorted(sres["fetch_log"]) == sorted(
+        (r, u, e) for r, u, e in ores["fetch_log"]), f"{name}: log"
+    assert sres["emitted"] == ores["emitted"], f"{name}: emitted"
