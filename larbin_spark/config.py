@@ -38,6 +38,7 @@ class CrawlConfig:
     get_image: bool = False
     get_cgi: bool = False
     any_type: bool = False
+    use_cookies: bool = False
     page_no_duplicate: bool = False
     specific_search: bool = False
     punycode: bool = False

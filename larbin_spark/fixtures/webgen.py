@@ -178,10 +178,14 @@ def gen_web(seed: int = 42, n_hosts: int = 24, base_pages: int = 14,
             ctype = "application/pdf"
         elif sel < 0.10:
             length = 9 * 1024 * 1024  # tooBig
+        # a deterministic subset of healthy pages sets a cookie (the
+        # pre-';' value of a Set-Cookie header; useCookies path)
+        set_cookie = (f"sid={zlib.crc32(url.encode()) & 0xFFFF}"
+                      if status == 200 and rng_doc.random() < 0.25 else None)
         documents.append({
             "doc_id": url, "spans": spans, "status": status,
             "redirect_to": redirect_to, "content_type": ctype,
-            "length": length,
+            "length": length, "set_cookie": set_cookie,
         })
 
     # duplicate-content pair for the hashDup path: two clean same-host
@@ -208,7 +212,8 @@ def to_oracle_inputs(web: dict) -> Tuple[dict, dict, dict, List[str]]:
             spans=[(s["kind"], s["text"], s["media_ref"], s["offset"])
                    for s in d["spans"]],
             status=d["status"], redirect_to=d["redirect_to"],
-            content_type=d["content_type"], length=d["length"])
+            content_type=d["content_type"], length=d["length"],
+            set_cookie=d.get("set_cookie"))
         for d in web["documents"]
     }
     hosts = {h["host"]: h for h in web["hosts"]}
@@ -229,6 +234,8 @@ def write_parquet(web: dict, outdir: str) -> None:
         "redirect_to": pa.array([d["redirect_to"] for d in docs], pa.string()),
         "content_type": pa.array([d["content_type"] for d in docs], pa.string()),
         "length": pa.array([d["length"] for d in docs], pa.int64()),
+        "set_cookie": pa.array([d.get("set_cookie") for d in docs],
+                               pa.string()),
     })
     pq.write_table(doc_tbl, os.path.join(outdir, "documents.parquet"))
     hosts = web["hosts"]

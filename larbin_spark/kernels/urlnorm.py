@@ -264,3 +264,19 @@ def punycode_host(host: str) -> str:
         except (UnicodeError, UnicodeDecodeError):
             out.append(label)
     return ".".join(out)
+
+
+MAX_COOKIE_SIZE = 128  # types.h:80
+
+
+def merge_cookie(old, new_val):
+    """url::addCookie (url.cxx:605-631) for one captured Set-Cookie
+    value (the part before ';' — headers WITHOUT a ';' are ignored by
+    the reference, so the fixture's set_cookie column models only
+    capturable values). Appends '; ' between values; the buffer is
+    capped at maxCookieSize with a forced NUL at [max-1], i.e. 127
+    content chars."""
+    if new_val is None or new_val == "":
+        return old
+    s = new_val if old is None else f"{old}; {new_val}"
+    return s[: MAX_COOKIE_SIZE - 1]

@@ -22,7 +22,8 @@ from ..kernels.hashes import content_hash, ip_hash, site_hash, url_hash
 from ..kernels.links import clean_redirect_text, extract_links, render_content
 from ..kernels.robots import is_allowed, parse_robots
 from ..kernels.urlfilter import filter1, match_priv_ext
-from ..kernels.urlnorm import ParsedUrl, give_base, parse_url, punycode_host
+from ..kernels.urlnorm import (ParsedUrl, give_base, merge_cookie,
+                               parse_url, punycode_host)
 
 # DnsState (site.h:29-34)
 WAIT_DNS, DONE_DNS, ERROR_DNS, NOCONN_DNS = "wait", "done", "error", "noconn"
@@ -51,6 +52,7 @@ class QUrl:
     u: ParsedUrl
     qseq: int
     transfer_seq: int = -1
+    cookie: Optional[str] = None   # url.h:126, useCookies only
 
 
 @dataclass
@@ -75,15 +77,17 @@ class Bucket:
 
 
 class Document:
-    __slots__ = ("spans", "status", "redirect_to", "content_type", "length")
+    __slots__ = ("spans", "status", "redirect_to", "content_type",
+                 "length", "set_cookie")
 
     def __init__(self, spans, status=200, redirect_to=None,
-                 content_type="text/html", length=0):
+                 content_type="text/html", length=0, set_cookie=None):
         self.spans = spans
         self.status = status
         self.redirect_to = redirect_to
         self.content_type = content_type
         self.length = length
+        self.set_cookie = set_cookie
 
 
 class CrawlOracle:
@@ -118,6 +122,7 @@ class CrawlOracle:
         self.ordering: List[Tuple[int, int, str]] = []   # (round, seq, url)
         self.fetch_log: List[Tuple[int, str, str]] = []  # (round, url, error)
         self.emitted: List[Tuple[int, int, str]] = []    # (round, seq, doc_id)
+        self.cookies: List[Tuple[int, Optional[str]]] = []  # (seq, sent)
         self.errors: Dict[str, int] = {}
 
     # ---- helpers -------------------------------------------------
@@ -140,8 +145,9 @@ class CrawlOracle:
         self.fetch_log.append((rnd, q.u.url, reason))
         self._count_error(reason)
 
-    def _enqueue(self, u: ParsedUrl, queue: str) -> None:
-        self.queues[queue].append(QUrl(u, self.qseq))
+    def _enqueue(self, u: ParsedUrl, queue: str,
+                 cookie: Optional[str] = None) -> None:
+        self.queues[queue].append(QUrl(u, self.qseq, cookie=cookie))
         self.qseq += 1
 
     def _urls_in_ram(self) -> int:
@@ -155,7 +161,8 @@ class CrawlOracle:
             return
         self._check(u, None)
 
-    def _check(self, u: ParsedUrl, rnd: Optional[int]) -> None:
+    def _check(self, u: ParsedUrl, rnd: Optional[int],
+               cookie: Optional[str] = None) -> None:
         bucket = url_hash(u.host, u.port, u.path, self.cfg.hash_size)
         if bucket in self.seen:
             self._count_error(URL_DUP)
@@ -163,9 +170,9 @@ class CrawlOracle:
         self.seen.add(bucket)
         if (self.cfg.specific_search and self.cfg.privileged_exts
                 and match_priv_ext(u.path, self.cfg.privileged_exts)):
-            self._enqueue(u, "priority")
+            self._enqueue(u, "priority", cookie)
         else:
-            self._enqueue(u, "disk")
+            self._enqueue(u, "disk", cookie)
 
     # ---- phase B: sequencer --------------------------------------
 
@@ -213,7 +220,8 @@ class CrawlOracle:
                     self._forget(q, FORBIDDEN_ROBOTS, rnd)
                     return
             # bounce to the matching wait queue, fresh queue position
-            self._enqueue(q.u, "priority_wait" if prio else "disk_wait")
+            self._enqueue(q.u, "priority_wait" if prio else "disk_wait",
+                          q.cookie)
             return
         slot.nburls += 1
         if (slot.dns_state == WAIT_DNS or slot.name != puny
@@ -342,6 +350,10 @@ class CrawlOracle:
             seq = self.fetch_seq
             self.fetch_seq += 1
             self.ordering.append((rnd, seq, q.u.url))
+            # the Cookie header the request carried (site.cxx:612);
+            # always null when use_cookies is off — recorded either
+            # way so the parity compare is symmetric
+            self.cookies.append((seq, q.cookie))
             doc = self.documents.get(q.u.url)
             if doc is None:
                 self.fetch_log.append((rnd, q.u.url, ERR_40X))
@@ -349,8 +361,11 @@ class CrawlOracle:
                 continue
             if 300 <= doc.status < 400:
                 if doc.redirect_to:
-                    # parseHeader30X: same depth, isRedir=True
-                    self._links(rnd, seq, q.u, [(doc.redirect_to, True)])
+                    # parseHeader30X: same depth, isRedir=True; 30X
+                    # headers do NOT capture cookies (addCookie is
+                    # only called from parseHeader, file.cxx:469)
+                    self._links(rnd, seq, q.u, [(doc.redirect_to, True)],
+                                q.cookie)
                 self.fetch_log.append((rnd, q.u.url, ERR_30X))
                 self._count_error(ERR_30X)
                 continue
@@ -385,9 +400,15 @@ class CrawlOracle:
             self._count_error(SUCCESS)
             self.emitted.append((rnd, seq, q.u.url))
             links = extract_links(doc.spans, q.u, cfg.get_image, cfg.get_cgi)
-            self._links(rnd, seq, q.u, [(l, False) for l in links])
+            # 2xx headers were parsed (and cookies captured) before
+            # the body, so links inherit the updated cookie
+            page_cookie = (merge_cookie(q.cookie, doc.set_cookie)
+                           if cfg.use_cookies else None)
+            self._links(rnd, seq, q.u, [(l, False) for l in links],
+                        page_cookie)
 
-    def _links(self, rnd: int, seq: int, page: ParsedUrl, links) -> None:
+    def _links(self, rnd: int, seq: int, page: ParsedUrl, links,
+               page_cookie: Optional[str] = None) -> None:
         """manageUrl + initOK + check per link (file.cxx:329-357,
         url.cxx:343-391, checker.cxx:44-64)."""
         cfg = self.cfg
@@ -408,12 +429,16 @@ class CrawlOracle:
             if not (cfg.external_links or is_redir or u.host == page.host):
                 continue
             # initOK
+            link_cookie = None
             if u.host != page.host:
                 if cfg.lock_site:
                     self._count_error(OUT_SITE)
                     continue
                 if cfg.depth_by_site:
                     u = u._replace(depth=cfg.depth_in_site)
+            elif cfg.use_cookies:
+                # same-site links inherit the cookie (url.cxx:358-364)
+                link_cookie = page_cookie
             if u.depth < 0:
                 self._count_error(TOO_DEEP)
                 continue
@@ -429,7 +454,7 @@ class CrawlOracle:
                         and not is_allowed(u.path, slot.forbidden, cfg.ignore_robots)):
                     self._count_error(FAST_ROBOTS)
                     continue
-            self._check(u, rnd)
+            self._check(u, rnd, link_cookie)
 
     # ---- main loop -----------------------------------------------
 
@@ -466,5 +491,6 @@ class CrawlOracle:
             "errors": dict(sorted(self.errors.items())),
             "fetch_log": self.fetch_log,
             "emitted": self.emitted,
+            "cookies": self.cookies,
             "pages_ok": self.pages_ok,
         }

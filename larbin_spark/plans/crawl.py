@@ -65,8 +65,10 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
 
 def collect_results(st: CrawlState) -> dict:
     """Oracle-comparable result dict (tests only: bounded collects)."""
+    ordering_rows = st.ordering.orderBy("fetch_seq").collect()
     ordering = [(r["round"], r["fetch_seq"], r["url"])
-                for r in st.ordering.orderBy("fetch_seq").collect()]
+                for r in ordering_rows]
+    cookies = [(r["fetch_seq"], r["cookie"]) for r in ordering_rows]
     seen = sorted(r["bucket"] for r in st.seen.collect())
     fetch_log = sorted((r["round"], r["url"], r["error"])
                        for r in st.fetch_log.collect())
@@ -85,6 +87,7 @@ def collect_results(st: CrawlState) -> dict:
     return {
         "rounds": st.counters["round"],
         "ordering": ordering,
+        "cookies": cookies,
         "seen": seen,
         "errors": dict(sorted(errors.items())),
         "fetch_log": fetch_log,

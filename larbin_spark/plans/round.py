@@ -75,6 +75,7 @@ LINKS_SCHEMA = T.StructType([
     T.StructField("l_depth", T.IntegerType()),
     T.StructField("is_redir", T.BooleanType()),
     T.StructField("parent_host", T.StringType()),
+    T.StructField("l_cookie", T.StringType()),
 ])
 
 
@@ -153,7 +154,7 @@ class RoundRunner:
             queue = ("priority" if cfg.specific_search and cfg.privileged_exts
                      and match_priv_ext(u.path, cfg.privileged_exts) else "disk")
             st.counters[f"n_{queue}"] += 1
-            rows.append((u.url, u.host, u.port, u.path, u.depth,
+            rows.append((u.url, u.host, u.port, u.path, u.depth, None,
                          st.counters["qseq_next"] + len(rows), queue))
         st.counters["qseq_next"] += len(rows)
         spark = self.spark
@@ -366,8 +367,8 @@ class RoundRunner:
             F.row_number().over(Window.orderBy("bucket_head", "rn")) - 1
             + F.lit(C["fetch_seq_next"]))
         fetched = _lc(fetched.select(
-            "url", "host", "port", "path", "depth", "slot_id", "ip_hash",
-            "transfer_seq", "fetch_seq"))
+            "url", "host", "port", "path", "depth", "cookie", "slot_id",
+            "ip_hash", "transfer_seq", "fetch_seq"))
         n_fetched = fetched.count()
         C["fetch_seq_next"] += n_fetched
         C["n_ip_queue"] -= n_fetched
@@ -388,7 +389,7 @@ class RoundRunner:
                  .select(*SLOTS_SCHEMA.names))
 
         ordering_new = fetched.select(F.lit(rnd).alias("round"),
-                                      "fetch_seq", "url")
+                                      "fetch_seq", "url", "cookie")
 
         # ---------- phase E: fetch + parse + link pipeline ----------
         (queues, seen, dup_seen, log_e, metrics_e, docs_out_new,
@@ -577,11 +578,16 @@ class RoundRunner:
     def _phase_e(self, st: CrawlState, fetched: DataFrame, rnd: int,
                  qseq_base: int, queues: DataFrame):
         cfg, spark = self.cfg, self.spark
-        docs = self.dims["documents"].select(
+        docs_dim = self.dims["documents"]
+        set_cookie_col = (F.col("set_cookie")
+                          if "set_cookie" in docs_dim.columns
+                          else F.lit(None).cast("string"))
+        docs = docs_dim.select(
             F.col("doc_id"), F.col("spans"),
             F.col("status").alias("d_status"),
             F.col("redirect_to"), F.col("content_type"),
-            F.col("length").alias("d_length"))
+            F.col("length").alias("d_length"),
+            set_cookie_col.alias("set_cookie"))
         pages = fetched.join(F.broadcast(docs),
                              fetched.url == docs.doc_id, "left")
 
@@ -659,12 +665,14 @@ class RoundRunner:
 
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi
+        use_cookies = bool(cfg.use_cookies)
         ex_in = pages.filter(F.col("final_error").isin("success", "err30X")) \
             .select("fetch_seq", "host", "port", "path", "depth", "spans",
-                    "redirect_to",
+                    "redirect_to", "cookie", "set_cookie",
                     (F.col("final_error") == "err30X").alias("redir_row"))
 
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..kernels.urlnorm import merge_cookie
             cols = [f.name for f in LINKS_SCHEMA]
             for pdf in batches:
                 out = []
@@ -672,22 +680,31 @@ class RoundRunner:
                     page = ParsedUrl(row.host, int(row.port), row.path,
                                      int(row.depth))
                     if row.redir_row:
+                        # 30X headers don't capture cookies
+                        # (addCookie only runs in parseHeader)
+                        pc = row.cookie if use_cookies else None
                         cleaned = clean_redirect_text(
                             row.redirect_to or "", get_cgi)
                         u = (parse_url(cleaned, page.depth, give_base(page))
                              if cleaned else None)
                         if u is not None:
+                            lc = pc if (use_cookies
+                                        and u.host == row.host) else None
                             out.append((row.fetch_seq, 0, u.url, u.host,
                                         u.port, u.path, u.depth, True,
-                                        row.host))
+                                        row.host, lc))
                     else:
+                        pc = (merge_cookie(row.cookie, row.set_cookie)
+                              if use_cookies else None)
                         tup = [(d["kind"], d["text"], d["media_ref"],
                                 d["offset"]) for d in row.spans]
                         for i, u in enumerate(extract_links(
                                 tup, page, get_image, get_cgi)):
+                            lc = pc if (use_cookies
+                                        and u.host == row.host) else None
                             out.append((row.fetch_seq, i, u.url, u.host,
                                         u.port, u.path, u.depth, False,
-                                        row.host))
+                                        row.host, lc))
                 yield pd.DataFrame(out, columns=cols)
 
         links = ex_in.mapInPandas(extract, LINKS_SCHEMA)
@@ -770,6 +787,7 @@ class RoundRunner:
             F.col("l_url").alias("url"), F.col("l_host").alias("host"),
             F.col("l_port").alias("port"), F.col("l_path").alias("path"),
             F.col("l_depth").alias("depth"),
+            F.col("l_cookie").alias("cookie"),
             (F.row_number().over(wlink) - 1 + F.lit(qseq_base)).alias("qseq"),
             queue_col.alias("queue"))
         new_rows = _lc(new_rows)

@@ -21,6 +21,7 @@ QUEUE_SCHEMA = T.StructType([
     T.StructField("port", T.IntegerType()),
     T.StructField("path", T.StringType()),
     T.StructField("depth", T.IntegerType()),
+    T.StructField("cookie", T.StringType()),
     T.StructField("qseq", T.LongType()),
     T.StructField("queue", T.StringType()),
 ])
@@ -31,6 +32,7 @@ SITE_FIFO_SCHEMA = T.StructType([
     T.StructField("port", T.IntegerType()),
     T.StructField("path", T.StringType()),
     T.StructField("depth", T.IntegerType()),
+    T.StructField("cookie", T.StringType()),
     T.StructField("qseq", T.LongType()),
     T.StructField("slot_id", T.IntegerType()),
     T.StructField("fifo_pos", T.LongType()),
@@ -42,6 +44,7 @@ IP_QUEUE_SCHEMA = T.StructType([
     T.StructField("port", T.IntegerType()),
     T.StructField("path", T.StringType()),
     T.StructField("depth", T.IntegerType()),
+    T.StructField("cookie", T.StringType()),
     T.StructField("slot_id", T.IntegerType()),
     T.StructField("ip_hash", T.IntegerType()),
     T.StructField("transfer_seq", T.LongType()),
@@ -76,6 +79,7 @@ ORDERING_SCHEMA = T.StructType([
     T.StructField("round", T.IntegerType()),
     T.StructField("fetch_seq", T.LongType()),
     T.StructField("url", T.StringType()),
+    T.StructField("cookie", T.StringType()),
 ])
 
 METRICS_SCHEMA = T.StructType([

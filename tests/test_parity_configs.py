@@ -24,6 +24,7 @@ CONFIGS = {
     "ignore_robots": dict(ignore_robots=True),
     "budgets": dict(fetch_cap_per_round=7, dns_per_round=3,
                     seq_per_round=40),
+    "cookies": dict(use_cookies=True),
 }
 
 
@@ -49,3 +50,8 @@ def test_config_parity(spark, dims, fixture_web, seeds, name):
     assert sorted(sres["fetch_log"]) == sorted(
         (r, u, e) for r, u, e in ores["fetch_log"]), f"{name}: log"
     assert sres["emitted"] == ores["emitted"], f"{name}: emitted"
+    assert sres["cookies"] == ores["cookies"], f"{name}: cookies"
+    if name == "cookies":
+        # non-vacuous: at least one request actually carried a cookie
+        assert any(c is not None for _s, c in sres["cookies"]), \
+            "no cookie ever propagated - fixture is vacuous"
