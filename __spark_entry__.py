@@ -317,8 +317,8 @@ FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token HAVING count(*) >= 50 ORDER BY token""",
         "crawl_dim_join_agg": """
 SELECT r_name, n_name,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -328,14 +328,16 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name ORDER BY r_name, n_name""",
         "crawl_error_taxonomy": """
 SELECT event_type, count(*) AS n,
-       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_e6
 FROM events GROUP BY event_type ORDER BY event_type""",
         "crawl_size_histogram": """
 SELECT CAST(floor(n_chars / 256.0) AS BIGINT) AS size_bucket, count(*) AS n
 FROM documents GROUP BY 1 ORDER BY size_bucket""",
         "crawl_event_rate": """
 SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n,
-       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_e6
 FROM events GROUP BY 1, 2 ORDER BY minute, event_type""",
         "dedup_exact": """
 SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -436,8 +438,10 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         "text_token_counts": """
 SELECT source,
-       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS ws_tokens,
-       sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe_tokens,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+         AS ws_tokens,
+       CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+         AS bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source""",
         "text_fingerprint": """
@@ -526,9 +530,9 @@ SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
 WHERE cos >= 0.40 ORDER BY id_a, id_b""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS UNBOUNDED PRECEDING) AS running_cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM orders ORDER BY o_custkey, o_orderkey""",
         "analytics_moving_avg": """
 SELECT user_id, event_id,
@@ -551,13 +555,15 @@ s AS (
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM g)
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
        min(event_id) AS first_event,
-       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_e6
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
         "analytics_rollup": """
 SELECT n_name, o_orderpriority,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        count(*) AS n_orders
 FROM orders

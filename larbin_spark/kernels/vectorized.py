@@ -181,15 +181,23 @@ def _canonicalize_batch_arrow(raw: pd.Series) -> pd.DataFrame:
     fast = pc.and_(fast, pc.less(host_len, MAX_SITE_SIZE))
     fast = pc.and_(fast, pc.less(pc.add(pc.add(host_len, path_len), 18),
                                  MAX_URL_SIZE))
-    fast_np = pc.fill_null(fast, False).to_numpy(zero_copy_only=False)
-
-    host = pc.ascii_lower(pc.fill_null(host0, ""))
     port_s = pc.fill_null(port0, "")
     # >5-digit ports take the exact scalar path (overflow semantics
-    # belong to the state machine, not to a cast)
+    # belong to the state machine, not to a cast) — this guard must be
+    # ANDed in BEFORE fast is materialized, or long-port rows would
+    # both route wrong and blow up the int64 cast below
     fast = pc.and_(fast, pc.less_equal(pc.binary_length(port_s), 5))
-    port_num = pc.cast(pc.if_else(pc.equal(port_s, ""), "80", port_s),
-                       pa.int64(), safe=False)
+    fast = pc.fill_null(fast, False)
+    fast_np = fast.to_numpy(zero_copy_only=False)
+
+    host = pc.ascii_lower(pc.fill_null(host0, ""))
+    # blank non-fast port strings so one >18-digit port can't fail the
+    # whole batch's cast (non-fast rows are recomputed by the scalar
+    # kernel anyway)
+    port_num = pc.cast(
+        pc.if_else(pc.or_(pc.equal(port_s, ""), pc.invert(fast)),
+                   "80", port_s),
+        pa.int64(), safe=False)
     port16 = pc.if_else(pc.is_null(port_num), pa.scalar(80, pa.int64()),
                         pc.bit_wise_and(port_num, 65535))
     port_sfx = pc.if_else(pc.equal(port16, 80), "",
@@ -236,8 +244,15 @@ def _canonicalize_batch_pandas(raw: pd.Series) -> pd.DataFrame:
     # trailing '/.' or '/..' still need the state machine
     fast &= ~path0.fillna("/").str.endswith(".")
 
+    # >5-digit ports take the exact scalar path (same guard as the
+    # arrow fast path: to_numeric goes through float64 and loses
+    # precision on long ports, diverging from the reference's
+    # iterated uint16 arithmetic)
+    fast &= m[1].isna() | (m[1].str.len() <= 5)
+
     host = m[0].str.lower()
-    port = pd.to_numeric(m[1], errors="coerce").fillna(80).astype("int64") % 65536
+    port = (pd.to_numeric(m[1].where(m[1].str.len() <= 5), errors="coerce")
+            .fillna(80).astype("int64") % 65536)
     path = path0.fillna("/")
     # size caps (url.cxx:316-322)
     fast &= host.str.len() < MAX_SITE_SIZE

@@ -61,6 +61,13 @@ def test_canonicalize_batch_parity():
         "http://" + "h" * 300 + "/x",
         "http://ok.com/" + "p" * 1100,
         "http://ok.com/trailing.",
+        # >5-digit / >18-digit ports: must route to the exact scalar
+        # kernel (iterated uint16 arithmetic), and one such row must
+        # not knock the whole batch off the arrow fast path
+        "http://a.com:99999/x",
+        "http://a.com:999999/x",
+        "http://a.com:99999999999999999999/x",
+        "http://a.com:18446744073709551617/x",
     ]
     out = canonicalize_batch(pd.Series(raws, dtype="object"))
     for i, raw in enumerate(raws):
@@ -88,3 +95,25 @@ def test_fast_path_actually_fast():
     dt = time.time() - t0
     assert out["valid"].all()
     assert dt < 2.0, f"fast path too slow: {dt:.2f}s for {n} rows"
+
+
+def test_long_port_stays_on_arrow_path():
+    """A single >18-digit-port row must not fail the arrow batch (the
+    int64 cast is guarded), and both the arrow path and the pandas
+    fallback must agree with the scalar kernel on long ports."""
+    from larbin_spark.kernels.vectorized import (
+        _canonicalize_batch_arrow, _canonicalize_batch_pandas,
+    )
+    raws = pd.Series([
+        "http://clean.com/x",
+        "http://a.com:99999999999999999999/x",
+        "http://b.com:123456/y",
+    ], dtype="object")
+    for impl in (_canonicalize_batch_arrow, _canonicalize_batch_pandas):
+        out = impl(raws)
+        for i, raw in enumerate(raws):
+            want = parse_url(raw, 0, None)
+            assert out["valid"].iloc[i] == (want is not None), (impl, raw)
+            if want is not None:
+                assert out["url"].iloc[i] == want.url, (impl, raw)
+                assert int(out["port"].iloc[i]) == want.port, (impl, raw)

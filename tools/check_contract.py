@@ -105,6 +105,15 @@ def main():
         if s_cols != d_cols:
             print(f"{name}: MISMATCH(schema) spark={s_cols} duck={d_cols}")
             n_bad += 1
+        elif any(sdf[c].dtype.kind != ddf[c].dtype.kind for c in s_cols):
+            # the driver hashes engine-native values: a DuckDB HUGEINT
+            # (object/float64 in pandas) vs Spark int64 stringifies
+            # differently even when values agree -> flag as bad here.
+            kinds = {c: (str(sdf[c].dtype), str(ddf[c].dtype))
+                     for c in s_cols
+                     if sdf[c].dtype.kind != ddf[c].dtype.kind}
+            print(f"{name}: MISMATCH(dtype-kind) {kinds}")
+            n_bad += 1
         elif s_n != d_n:
             print(f"{name}: MISMATCH(rows) spark={s_n} duck={d_n}")
             n_bad += 1
