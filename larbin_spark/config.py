@@ -61,6 +61,11 @@ class CrawlConfig:
     # stop conditions (O-17)
     max_rounds: int = 0              # 0 = until frontier empty
     limit_page: int = 0              # 0 = unbounded successful pages
+    limit_time_sec: int = 0          # 0 = unbounded; wall-clock budget
+                                     # (limitTime, limit_time.cxx:30-48 —
+                                     # the reference stops mid-flight; the
+                                     # round model stops before the next
+                                     # round, the nearest safe point)
 
     # seen-membership probe strategy (operators/membership.py): when
     # True and hash_size fits a broadcast (8 MB at the reference's

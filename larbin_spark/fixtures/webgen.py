@@ -178,6 +178,10 @@ def gen_web(seed: int = 42, n_hosts: int = 24, base_pages: int = 14,
             ctype = "application/pdf"
         elif sel < 0.10:
             length = 9 * 1024 * 1024  # tooBig
+        # slow servers (timeout, types.h:114) reuse `sel` — no extra
+        # rng draw, so adding the taxonomy value left every other
+        # fixture byte unchanged
+        slow = 0.10 <= sel < 0.12
         # a deterministic subset of healthy pages sets a cookie (the
         # pre-';' value of a Set-Cookie header; useCookies path)
         set_cookie = (f"sid={zlib.crc32(url.encode()) & 0xFFFF}"
@@ -185,16 +189,28 @@ def gen_web(seed: int = 42, n_hosts: int = 24, base_pages: int = 14,
         documents.append({
             "doc_id": url, "spans": spans, "status": status,
             "redirect_to": redirect_to, "content_type": ctype,
-            "length": length, "set_cookie": set_cookie,
+            "length": length, "set_cookie": set_cookie, "slow": slow,
         })
 
     # duplicate-content pair for the hashDup path: two clean same-host
     # hub-linked pages share identical spans
     clean = [i for i, d in enumerate(documents)
              if d["status"] == 200 and d["content_type"] == "text/html"
-             and d["length"] == 1000 and d["doc_id"].startswith("http://site1.")]
+             and d["length"] == 1000 and not d["slow"]
+             and d["doc_id"].startswith("http://site1.")]
     if len(clean) >= 2:
         documents[clean[1]]["spans"] = [dict(s) for s in documents[clean[0]]["spans"]]
+
+    # deterministic timeout witness: the third seed's hub is a slow
+    # server, so the `timeout` FetchError (types.h:114) fires in the
+    # very first fetch round. Its pages stay reachable through
+    # cross-host links (the 0.85 anchor branch), only the hub itself
+    # times out.
+    if n_hosts >= 3:
+        slow_hub = page_url(hosts[2]["host"], "/")
+        for d in documents:
+            if d["doc_id"] == slow_hub:
+                d["slow"] = True
 
     seeds = [{"url": page_url(hosts[i]["host"], "/"), "order": i}
              for i in range(min(4, n_hosts))]
@@ -213,7 +229,7 @@ def to_oracle_inputs(web: dict) -> Tuple[dict, dict, dict, List[str]]:
                    for s in d["spans"]],
             status=d["status"], redirect_to=d["redirect_to"],
             content_type=d["content_type"], length=d["length"],
-            set_cookie=d.get("set_cookie"))
+            set_cookie=d.get("set_cookie"), slow=d.get("slow", False))
         for d in web["documents"]
     }
     hosts = {h["host"]: h for h in web["hosts"]}
@@ -236,6 +252,7 @@ def write_parquet(web: dict, outdir: str) -> None:
         "length": pa.array([d["length"] for d in docs], pa.int64()),
         "set_cookie": pa.array([d.get("set_cookie") for d in docs],
                                pa.string()),
+        "slow": pa.array([d.get("slow", False) for d in docs], pa.bool_()),
     })
     pq.write_table(doc_tbl, os.path.join(outdir, "documents.parquet"))
     hosts = web["hosts"]

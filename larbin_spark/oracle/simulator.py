@@ -30,6 +30,9 @@ WAIT_DNS, DONE_DNS, ERROR_DNS, NOCONN_DNS = "wait", "done", "error", "noconn"
 
 # FetchError taxonomy (types.h:108-127)
 SUCCESS = "success"
+TIMEOUT = "timeout"     # types.h:114, fed by timeoutPage/timeoutIncr
+                        # (types.h:46-47, fetch_pipe.cxx:50-72); here a
+                        # slow server times out before the status line
 NO_DNS = "noDNS"
 NO_CONNECTION = "noConnection"
 FORBIDDEN_ROBOTS = "forbiddenRobots"
@@ -78,16 +81,20 @@ class Bucket:
 
 class Document:
     __slots__ = ("spans", "status", "redirect_to", "content_type",
-                 "length", "set_cookie")
+                 "length", "set_cookie", "slow")
 
     def __init__(self, spans, status=200, redirect_to=None,
-                 content_type="text/html", length=0, set_cookie=None):
+                 content_type="text/html", length=0, set_cookie=None,
+                 slow=False):
         self.spans = spans
         self.status = status
         self.redirect_to = redirect_to
         self.content_type = content_type
         self.length = length
         self.set_cookie = set_cookie
+        # server too slow: the read deadline expires before the
+        # status line arrives (timeoutPage, fetch_pipe.cxx:50-72)
+        self.slow = slow
 
 
 class CrawlOracle:
@@ -358,6 +365,12 @@ class CrawlOracle:
             if doc is None:
                 self.fetch_log.append((rnd, q.u.url, ERR_40X))
                 self._count_error(ERR_40X)
+                continue
+            if doc.slow:
+                # timeout preempts ALL parsing (including 30X): the
+                # deadline fires before the status line is read
+                self.fetch_log.append((rnd, q.u.url, TIMEOUT))
+                self._count_error(TIMEOUT)
                 continue
             if 300 <= doc.status < 400:
                 if doc.redirect_to:

@@ -18,10 +18,17 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
               max_rounds: int = 10 ** 9,
               store: Optional[SnapshotStore] = None,
               keep_snapshots: int = 3,
-              resume: bool = False) -> CrawlState:
+              resume: bool = False,
+              clock=None) -> CrawlState:
     """Run rounds until the frontier drains or a limit hits
-    (main.cxx:184-185: frontier-empty termination; limit_page /
-    max_rounds are the limitPage/limitTime analogues).
+    (main.cxx:184-185: frontier-empty termination; limit_page is the
+    limitPage analogue (limit_page.cxx:28-43); limit_time_sec is the
+    limitTime analogue (limit_time.cxx:30-48) checked against `clock`
+    before each round — inject a fake clock to test it, the default
+    is the monotonic wall clock. A wall-clock stop is inherently
+    non-deterministic across parallelism levels, exactly like the
+    reference's timer thread; determinism guarantees apply to the
+    rounds that did run.
 
     Every round commits a durable snapshot (the round's state tables
     round-trip through parquet — this also resets Catalyst size
@@ -29,6 +36,10 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
     latest committed snapshot exactly.
     """
     import tempfile
+    import time
+    if clock is None:
+        clock = time.monotonic
+    t_start = clock()
     runner = RoundRunner(spark, cfg, dims)
     if store is None:
         store = SnapshotStore(tempfile.mkdtemp(prefix="larbin_snap_"))
@@ -48,6 +59,8 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
         if cfg.max_rounds and rnd >= cfg.max_rounds:
             break
         if cfg.limit_page and st.counters["pages_ok"] >= cfg.limit_page:
+            break
+        if cfg.limit_time_sec and clock() - t_start >= cfg.limit_time_sec:
             break
         c = st.counters
         frontier_size = (c["n_priority"] + c["n_priority_wait"] + c["n_disk"]

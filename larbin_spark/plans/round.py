@@ -15,14 +15,18 @@ Phase map (the oracle simulator is the executable spec):
   F commit       -> localCheckpoint per state table; durable snapshot
                     at the crawl driver's checkpoint cadence
 
-Determinism: every sequence number is a row_number over an explicit
-total order (qseq / take_rank / fifo_pos / transfer_seq /
+Determinism: every sequence number is a rank over an explicit total
+order (qseq / take_rank / fifo_pos / transfer_seq /
 (fetch_seq, link_idx)); nothing depends on partitioning. The global
-row_number windows run on already-budget-limited sets (<= sequencer
-budget / <= #ip buckets), so the single-partition window is bounded,
-not a scalability hole; the heavy stages (slot routing, link
-extraction, seen anti-join) shuffle on slot_id / bucket and scale
-out.
+row_number windows run ONLY on budget-limited sets (<= sequencer
+budget / <= #ip buckets), so those single-partition windows are
+bounded, not a scalability hole. The one unbounded sequence — qseq
+for per-round new links — uses the two-phase distributed rank
+(operators/sequence.py) under the same (fetch_seq, link_idx) order.
+The heavy stages (slot routing, link extraction, seen anti-join,
+fetch join) shuffle on slot_id / bucket / range and scale out; the
+documents dim and the growing dup_seen set are never broadcast
+(only the bounded scheduled batch and the fixed-size bitmaps are).
 """
 
 from __future__ import annotations
@@ -103,6 +107,33 @@ def _lc(df: DataFrame, parts: int = _STATE_PARTITIONS) -> DataFrame:
     tasks. State tables stay at a fixed partition count; at cluster
     scale this constant is sized to the executor count."""
     return df.coalesce(parts).localCheckpoint(eager=True)
+
+
+def scale_safe_fetch_join(docs: DataFrame, fetched: DataFrame,
+                          materialize=None) -> DataFrame:
+    """Left-outer `fetched |><| documents` without ever broadcasting
+    documents: at crawl scale documents is the LARGEST table and the
+    scheduled batch is bounded (fetch_cap_per_round), so broadcast the
+    batch and stream documents map-side (one scan, runtime-filter/DPP
+    prunable), then recover the outer rows (scheduled URL with no
+    document = connection-failure analogue) from the materialized hit
+    set — both sides of that anti-join are <= |fetched|. The
+    only BroadcastExchange inputs are fetched-side columns
+    (tests/test_fetch_join_plan.py asserts this on the physical plan).
+
+    materialize pins the hit set so the anti-join doesn't re-scan
+    documents (defaults to the round's localCheckpoint)."""
+    if materialize is None:
+        materialize = _lc
+    hits = materialize(docs.join(F.broadcast(fetched),
+                                 fetched.url == docs.doc_id, "inner"))
+    null_doc_cols = [F.lit(None).cast(f.dataType).alias(f.name)
+                     for f in docs.schema.fields]
+    miss = (fetched.join(F.broadcast(hits.select("url")),
+                         "url", "left_anti")
+            .select("*", *null_doc_cols))
+    page_cols = [*fetched.columns, *[f.name for f in docs.schema.fields]]
+    return hits.select(*page_cols).unionByName(miss.select(*page_cols))
 
 
 def _defaults_for_new_slots(df: DataFrame) -> DataFrame:
@@ -582,14 +613,16 @@ class RoundRunner:
         set_cookie_col = (F.col("set_cookie")
                           if "set_cookie" in docs_dim.columns
                           else F.lit(None).cast("string"))
+        slow_col = (F.col("slow") if "slow" in docs_dim.columns
+                    else F.lit(False))
         docs = docs_dim.select(
             F.col("doc_id"), F.col("spans"),
             F.col("status").alias("d_status"),
             F.col("redirect_to"), F.col("content_type"),
             F.col("length").alias("d_length"),
-            set_cookie_col.alias("set_cookie"))
-        pages = fetched.join(F.broadcast(docs),
-                             fetched.url == docs.doc_id, "left")
+            set_cookie_col.alias("set_cookie"),
+            slow_col.alias("d_slow"))
+        pages = scale_safe_fetch_join(docs, fetched)
 
         ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
         type_ok = (ct.startswith("text/html")
@@ -597,6 +630,10 @@ class RoundRunner:
                    | (F.lit(bool(cfg.get_image)) & ct.startswith("image")))
         page_class = (
             F.when(F.col("doc_id").isNull(), "err40X")
+            # timeout (types.h:114) preempts ALL parsing incl. 30X:
+            # the read deadline (fetch_pipe.cxx:50-72) fires before
+            # the status line of a slow server arrives
+            .when(F.coalesce(F.col("d_slow"), F.lit(False)), "timeout")
             .when((F.col("d_status") >= 300) & (F.col("d_status") < 400), "err30X")
             .when(~((F.col("d_status") >= 200) & (F.col("d_status") < 300)), "err40X")
             .when(~type_ok, "badType")
@@ -629,9 +666,29 @@ class RoundRunner:
             pages = pages.withColumn(
                 "dup_rn", F.when(F.col("c_bucket").isNotNull(),
                                  F.row_number().over(wdup)))
-            dup_hit = st.dup_seen.select(F.col("bucket").alias("c_bucket")) \
-                .withColumn("dup_seen_hit", F.lit(True))
-            pages = pages.join(F.broadcast(dup_hit), "c_bucket", "left")
+            # dup_seen GROWS without bound as the crawl fetches pages
+            # and must never be broadcast as a table; probe it through
+            # the fixed-size (dup_size bits) bitmap when the config
+            # allows the 8 MB broadcast, else a plain (AQE-planned)
+            # join — same split as the URL-seen probe below.
+            if cfg.seen_bitmap_broadcast:
+                from ..operators.membership import (
+                    seen_bitmap, with_bitmap_hit,
+                )
+                dup_bm = seen_bitmap(st.dup_seen, cfg.dup_size)
+                pages = pages.withColumn(
+                    "_cb0", F.coalesce("c_bucket", F.lit(0)))
+                pages = with_bitmap_hit(pages, dup_bm, "_cb0",
+                                        "dup_seen_hit")
+                pages = (pages.withColumn(
+                    "dup_seen_hit",
+                    F.col("dup_seen_hit") & F.col("c_bucket").isNotNull())
+                    .drop("_cb0"))
+            else:
+                dup_hit = (st.dup_seen
+                           .select(F.col("bucket").alias("c_bucket"))
+                           .withColumn("dup_seen_hit", F.lit(True)))
+                pages = pages.join(dup_hit, "c_bucket", "left")
             pages = pages.withColumn(
                 "page_class",
                 F.when((F.col("page_class") == "ok")
@@ -782,15 +839,20 @@ class RoundRunner:
         else:
             queue_col = F.lit("disk")
 
-        wlink = Window.orderBy("fetch_seq", "link_idx")
-        new_rows = novel.select(
+        # per-round new links are pages x links/page and UNBOUNDED —
+        # the one sequence that must not be a single-partition
+        # window; two-phase rank under the same total order instead
+        from ..operators.sequence import assign_global_seq
+        picked = novel.select(
+            "fetch_seq", "link_idx",
             F.col("l_url").alias("url"), F.col("l_host").alias("host"),
             F.col("l_port").alias("port"), F.col("l_path").alias("path"),
             F.col("l_depth").alias("depth"),
             F.col("l_cookie").alias("cookie"),
-            (F.row_number().over(wlink) - 1 + F.lit(qseq_base)).alias("qseq"),
             queue_col.alias("queue"))
-        new_rows = _lc(new_rows)
+        new_rows = assign_global_seq(
+            picked, ["fetch_seq", "link_idx"], "qseq", qseq_base)
+        new_rows = _lc(new_rows.select(*QUEUE_SCHEMA.names))
         lstats = {r["queue"]: r["n"] for r in
                   new_rows.groupBy("queue").agg(F.count("*").alias("n"))
                   .collect()}

@@ -97,3 +97,11 @@ def test_bitmap_probe_matches_join_probe(spark, dims, seeds, spark_result):
     cfg = CrawlConfig(seen_bitmap_broadcast=True)
     st = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS)
     assert collect_results(st) == spark_result[0]
+
+
+def test_timeout_taxonomy_nonvacuous(oracle_result):
+    """The fixture must actually exercise the timeout FetchError
+    (types.h:114): slow servers exist and get scheduled within the
+    parity horizon, so the taxonomy comparison above isn't vacuous."""
+    errs = {e for _, _, e in oracle_result["fetch_log"]}
+    assert "timeout" in errs

@@ -50,3 +50,20 @@ def test_snapshot_prune_keeps_resume(spark, dims, seeds, tmp_path):
     from larbin_spark.plans.state import CrawlState
     st = CrawlState.load(spark, store, store.latest())
     assert st.counters["round"] == 3
+
+
+def test_limit_time_stops_crawl(spark, dims, seeds):
+    """limitTime analogue (limit_time.cxx:30-48): the wall-clock
+    budget stops the crawl at the next round boundary. An injected
+    clock that advances 1s per reading makes the stop deterministic:
+    budget 3s -> exactly 2 rounds run."""
+    ticks = iter(range(1000))
+
+    def fake_clock():
+        return float(next(ticks))
+
+    cfg = CrawlConfig(limit_time_sec=3)
+    st = run_crawl(spark, cfg, dims, list(seeds), clock=fake_clock)
+    # t_start=0; checks at t=1 (<3, round 0), t=2 (<3, round 1),
+    # t=3 (>=3, stop)
+    assert st.counters["round"] == 2
