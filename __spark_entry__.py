@@ -20,6 +20,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# fixed handoff path for the synthetic media table: the Spark query
+# writes it, the DuckDB oracle reads it (gitignored scratch dir)
+_MULTIMODAL_MEDIA_PATH = "/root/repo/.cache/multimodal_media.parquet"
+
+
 # ---------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------
@@ -113,7 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_dedup(_t(spark, sf, "documents"))
 
     def q_jaccard(spark, sf):
-        return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.4)
+        return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.4,
+                                         df_cap=100)
 
     def q_minhash(spark, sf):
         return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), 16, 4, 3)
@@ -150,12 +156,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann.ivf_topk(_t(spark, sf, "embeddings"), 5, 10, 8, 2)
 
     def q_neardup(spark, sf):
-        return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), 0.40)
+        return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"),
+                                             0.40, n_planes=8)
 
     def q_multimodal(spark, sf):
+        # the media table is synthesized (no media in the driver's
+        # tables) and written to a fixed parquet path so the DuckDB
+        # oracle can audit the binary-column plumbing end to end:
+        # octet_length + md5-over-hex of the same BLOBs
         from larbin_spark.pipeline import multimodal
         media = multimodal.make_media_table(spark, 64)
-        return (multimodal.extract_features(media, fake=True)
+        media.coalesce(1).write.mode("overwrite").parquet(
+            _MULTIMODAL_MEDIA_PATH)
+        media_rt = spark.read.parquet(_MULTIMODAL_MEDIA_PATH)
+        return (multimodal.extract_features(media_rt, fake=True)
                 .select("media_id", "kind", "n_bytes", "digest")
                 .orderBy("media_id"))
 
@@ -185,7 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding_neardup": q_neardup,
-        "multimodal_features": q_multimodal,   # no SQL oracle (binary UDF path)
+        "multimodal_features": q_multimodal,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -344,10 +358,12 @@ SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY 1 ORDER BY digest""",
         "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -524,10 +540,20 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
   WHERE n.vec_id <> p.query_id)
 WHERE rank <= 10 ORDER BY query_id, rank""",
         "dedup_embedding_neardup": f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({_lsh_planes_sql()} AS INTEGER) AS bucket
+  FROM embeddings)
 SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
   SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
-  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
 WHERE cos >= 0.40 ORDER BY id_a, id_b""",
+        "multimodal_features": f"""
+SELECT media_id, kind,
+       CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+       md5(lower(hex(payload))) AS digest
+FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}/*.parquet')
+ORDER BY media_id""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

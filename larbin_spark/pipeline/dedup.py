@@ -9,8 +9,8 @@ float/int conversion divergence).
 Scale notes (100 TB thinking):
 - exact dedup: map-side partial agg on the digest, one shuffle.
 - ngram jaccard: the shingle self-join explodes quadratically on
-  common shingles; cap df per shingle (stop-shingle removal) like
-  the band-bucket cap in LSH.
+  common shingles; the df_cap stop-shingle filter removes shingles
+  with document frequency > cap before the join (bounded fan-out).
 - minhash LSH: bands shuffle by (band, band_key) which is uniform by
   construction; candidate verification re-joins only candidate pairs.
 - simhash: one pass token->bit contributions, then a groupBy doc.
@@ -54,10 +54,25 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
-                        threshold: float = 0.4) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold via distinct-shingle
-    self-join (exact, the oracle for MinHash)."""
+                        threshold: float = 0.4,
+                        df_cap: int | None = 100) -> DataFrame:
+    """n-gram Jaccard >= threshold via distinct-shingle self-join.
+
+    df_cap is the stop-shingle guard the self-join needs at scale: a
+    shingle appearing in D documents contributes D^2 candidate rows,
+    so one boilerplate phrase shared by 10^6 docs would explode the
+    join quadratically. Shingles with document frequency > df_cap are
+    removed from the shingle universe entirely (both intersections
+    AND sizes — classic stop-word semantics, so jaccard stays a true
+    Jaccard over the capped sets). The hot-shingle list is tiny by
+    construction (<= |shingles|/df_cap entries) and anti-joins
+    broadcast. df_cap=None disables the cap (exact all-shingle
+    semantics, the pytest oracle)."""
     sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
+    if df_cap is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > df_cap).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -76,29 +91,49 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
-                       k: int = 3) -> DataFrame:
-    """MinHash signature per doc: sig_i = min(md5(i || '|' || shingle))
-    as a hex string — portable, deterministic, no numeric conversion."""
+                       k: int = 3, hash_fn: str = "md5") -> DataFrame:
+    """MinHash signature per doc: sig_i = min(h_i(shingle)).
+
+    hash_fn="md5": h_i = md5(i || '|' || shingle) as a hex string —
+    engine-portable (the DuckDB oracle computes the identical
+    signature), the parity/contract path.
+    hash_fn="xxhash64": h_i = xxhash64(i, shingle) as a long — a
+    single JVM codegen'd hash per shingle instead of an md5 of a
+    concatenated string; same statistical properties (any uniform
+    hash family works for MinHash), ~4x cheaper, the scale path when
+    no cross-engine oracle must agree (benchmarked separately in
+    bench.py)."""
     sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
-    aggs = [F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("shingle")),
-                                 "utf-8"))).alias(f"mh{i}")
-            for i in range(n_hashes)]
+    if hash_fn == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+                for i in range(n_hashes)]
+    elif hash_fn == "md5":
+        aggs = [F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"),
+                                              F.col("shingle")),
+                                     "utf-8"))).alias(f"mh{i}")
+                for i in range(n_hashes)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(documents: DataFrame, n_hashes: int = 16,
-                           bands: int = 4, k: int = 3) -> DataFrame:
+                           bands: int = 4, k: int = 3,
+                           hash_fn: str = "md5") -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (the scale path: shuffles on uniform band keys,
     never all-pairs)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(documents, n_hashes, k)
+    sig = minhash_signatures(documents, n_hashes, k, hash_fn)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        if hash_fn == "xxhash64":
+            key = F.xxhash64(*cols)
+        else:
+            key = F.md5(F.encode(F.concat_ws("|", *cols), "utf-8"))
         band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.md5(F.encode(F.concat_ws("|", *cols),
-                                                 "utf-8")).alias("key")))
+                                  key.alias("key")))
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
@@ -131,16 +166,36 @@ def simhash64(documents: DataFrame) -> DataFrame:
 
 
 def embedding_neardup_pairs(embeddings: DataFrame,
-                            threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force; the ANN module
-    has the LSH-bucketed scale path). Double-precision arithmetic,
-    rounded, so the DuckDB oracle agrees."""
-    from .ann import cosine_expr
-    a = embeddings.select(F.col("vec_id").alias("id_a"),
-                          F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"),
-                          F.col("embedding").alias("emb_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                            threshold: float = 0.99,
+                            n_planes: int | None = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Default path: hyperplane-LSH bucketing (ann.hyperplane_lsh_buckets,
+    md5-derived planes so the DuckDB oracle computes identical
+    buckets) + exact-cosine verification of same-bucket pairs only —
+    the join shuffles on the bucket id, never all-pairs, so the plan
+    contains no CartesianProduct (asserted by tools/explain_audit.py).
+    Near-duplicate vectors land in the same bucket with probability
+    (1 - theta/pi)^n_planes, which -> 1 as cos -> 1; recall vs the
+    exact answer is measured in tests/test_analytics.py.
+
+    n_planes=None is the brute-force exact path — the pytest oracle,
+    never the scale path (O(N^2) crossJoin)."""
+    from .ann import cosine_expr, hyperplane_lsh_buckets
+    if n_planes is not None:
+        bk = hyperplane_lsh_buckets(embeddings, n_planes)
+        e = embeddings.join(bk, "vec_id")
+        a = e.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("emb_a"), "bucket")
+        b = e.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("emb_b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = embeddings.select(F.col("vec_id").alias("id_a"),
+                              F.col("embedding").alias("emb_a"))
+        b = embeddings.select(F.col("vec_id").alias("id_b"),
+                              F.col("embedding").alias("emb_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     pairs = pairs.withColumn("cos", cosine_expr("emb_a", "emb_b"))
     return (pairs.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
@@ -181,6 +236,14 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning split clusters would make
+        # keep_best_per_cluster keep near-duplicates — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); the "
+            f"component diameter exceeds max_iters — raise max_iters "
+            f"or switch to large-star/small-star propagation")
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

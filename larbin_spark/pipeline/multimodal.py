@@ -68,7 +68,12 @@ def extract_features(media: DataFrame, batch_hint: int = 256,
                      fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. The
     repartition keys on media_id so one oversized asset cannot skew a
-    task; Arrow moves the binary batches, no per-row Python UDF."""
+    task; Arrow moves the binary batches, no per-row Python UDF.
+
+    The content digest is md5 over the lowercase-hex encoding of the
+    payload (not the raw bytes): hex is an injective encoding, and it
+    makes the digest computable by any engine whose md5 is
+    VARCHAR-only (the DuckDB oracle: md5(lower(hex(payload))))."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -76,7 +81,8 @@ def extract_features(media: DataFrame, batch_hint: int = 256,
                 payload = bytes(row.payload)
                 feat = decode_image(payload, fake=fake)
                 out.append((row.media_id, row.kind, len(payload),
-                            hashlib.md5(payload).hexdigest(), feat))
+                            hashlib.md5(payload.hex().encode()).hexdigest(),
+                            feat))
             yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA])
 
     return (media.repartition("media_id")

@@ -90,3 +90,73 @@ def test_connected_components_chain_and_island(spark):
     out = {r["node"]: r["cluster_id"]
            for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_ngram_df_cap_bounds_hot_shingle(spark):
+    """One shingle shared by every doc must not contribute pairs when
+    df_cap is below the corpus size (stop-shingle removal), and the
+    capped jaccard must still find the genuinely-similar pair."""
+    from larbin_spark.pipeline.dedup import ngram_jaccard_pairs
+    hot = "the quick fox"          # one 3-shingle in every doc
+    docs = [("d%02d" % i, f"{hot} filler{i} a{i} b{i} c{i}")
+            for i in range(20)]
+    # d90/d91 share real content beyond the hot shingle
+    docs += [("d90", f"{hot} same same same same x"),
+             ("d91", f"{hot} same same same same y")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    uncapped = ngram_jaccard_pairs(df, 3, 0.05, df_cap=None).collect()
+    capped = ngram_jaccard_pairs(df, 3, 0.05, df_cap=10).collect()
+    # uncapped: the hot shingle links every doc pair at tiny jaccard
+    assert len(uncapped) > len(capped)
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert capped_pairs == {("d90", "d91")}
+
+
+def test_embedding_neardup_bucketed_subset_of_exact(spark):
+    """The LSH-bucketed near-dup pairs must be a subset of the exact
+    brute-force pairs with identical cosines, and at a high threshold
+    (near-identical vectors) recall must be total for this fixture."""
+    import random
+    from larbin_spark.pipeline.dedup import embedding_neardup_pairs
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # 5 near-duplicates of vector 0 (tiny perturbation -> cos ~ 1)
+    base = rows[0][1]
+    for j in range(5):
+        rows.append((100 + j,
+                     [x + rng.gauss(0, 0.001) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]): r["cos_r"]
+             for r in embedding_neardup_pairs(df, 0.99, n_planes=None)
+             .collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_r"]
+           for r in embedding_neardup_pairs(df, 0.99, n_planes=8)
+           .collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # cos ~ 0.999998: same bucket w.h.p.; this fixture must hit 100%
+    assert set(lsh) == set(exact)
+
+
+def test_minhash_xxhash64_variant(spark):
+    """hash_fn='xxhash64' must behave like a MinHash: exact-duplicate
+    docs collide in every band (always candidates), and candidates
+    form a subset of doc pairs with valid ids. (Signatures differ
+    from the md5 family by construction — only the md5 path has a
+    DuckDB oracle.)"""
+    from larbin_spark.pipeline.dedup import minhash_lsh_candidates
+    docs = [("a1", "alpha beta gamma delta epsilon zeta"),
+            ("a2", "alpha beta gamma delta epsilon zeta"),  # exact dup
+            ("b1", "one two three four five six seven"),
+            ("c1", "totally different words here indeed")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for fn in ("md5", "xxhash64"):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_candidates(df, 16, 4, 3, hash_fn=fn).collect()}
+        assert ("a1", "a2") in pairs, fn
+        assert all(a < b for a, b in pairs), fn
