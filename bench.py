@@ -133,6 +133,15 @@ def run_headline(spark) -> dict:
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
         times[name] = round(time.time() - t0, 3)
+    # the non-parity MinHash hash flag: identical plan shape, one JVM
+    # xxhash64 per shingle instead of 16 portable md5s — the scale
+    # path when no cross-engine oracle must agree. Timed as its own
+    # key; dedup_minhash_lsh above stays the md5 contract query.
+    from larbin_spark.pipeline.dedup import minhash_lsh_candidates
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_candidates(docs, 16, 4, 3, hash_fn="xxhash64").count()
+    times["dedup_minhash_lsh_xx64"] = round(time.time() - t0, 3)
     return times
 
 
@@ -223,26 +232,24 @@ def main() -> None:
 
     n_a, n_b = SCALE_N, SCALE_N * 4          # the N / 4N pair
 
-    # two interleaved repetitions per level, keep the fastest: this
-    # box is a shared-host VM with bursty CPU steal, and interleaving
-    # keeps a steal burst from biasing one level of the N-vs-4N pair
+    # three interleaved repetitions per level, fastest kept,
+    # UNCONDITIONALLY — the repetition count is fixed up front and
+    # never depends on the measured figure (a retry conditioned on
+    # failing the acceptance gate would one-sidedly bias the reported
+    # efficiency upward). Interleaving keeps a CPU-steal burst on
+    # this shared-host VM from biasing one level of the N-vs-4N pair.
     runs = {}
+    all_samples = {}
 
     def _take(cores):
         r = _run_sched(cores, frontier_path)
+        all_samples.setdefault(cores, []).append(round(r["dt"], 2))
         if cores not in runs or r["dt"] < runs[cores]["dt"]:
             runs[cores] = r
         time.sleep(3)  # let the child JVM fully exit before the next
 
-    for cores in (n_a, n_b, CPUS, n_a, n_b, CPUS):
+    for cores in (n_a, n_b, CPUS) * 3:
         _take(cores)
-    # a steal burst during one pair can still depress the measured
-    # efficiency; one extra interleaved N/4N pair when the figure
-    # lands below the acceptance line buys a cleaner window
-    if (runs[n_b]["n_in"] / runs[n_b]["dt"]) / \
-       (runs[n_a]["n_in"] / runs[n_a]["dt"]) / (n_b / n_a) < 0.8:
-        _take(n_a)
-        _take(n_b)
 
     n_in = runs[n_a]["n_in"]
     thr = {c: n_in / r["dt"] for c, r in runs.items()}
@@ -293,14 +300,20 @@ hash mapInPandas stage (O-3/O-6/O-7 keys), 64M-bucket first-wins
 dedup via min_by hash aggregation (O-6), per-site 64-cap window
 (O-7), per-ip-bucket politeness head (O-9). Two warm-up passes, then
 best of two timed passes per level; each level runs in a fresh
-interpreter/JVM (spark-submit-equivalent isolation); two interleaved
-repetitions per level with the fastest kept (this sandbox is a
-shared-host VM with bursty CPU steal — interleaving keeps a steal
-burst from biasing one side of the N-vs-4N comparison).
+interpreter/JVM (spark-submit-equivalent isolation); THREE
+interleaved repetitions per level with the fastest kept — the
+repetition count is fixed before any measurement and never depends
+on the resulting figure (this sandbox is a shared-host VM with
+bursty CPU steal; interleaving keeps a steal burst from biasing one
+side of the N-vs-4N comparison, and best-of estimates the unstolen
+steady state). All raw samples (wall sec per repetition, in run
+order) are listed below the table.
 
-| run | wall sec | URLs/sec |
+| run | wall sec (best) | URLs/sec |
 |---|---|---|
 {rows}
+
+Raw samples per level (sec): {all_samples!r}
 
 - **N vs 4N** = local[{n_a}] vs local[{n_b}]: scaling efficiency =
   (thr_4N/thr_N) / 4 = **{eff:.3f}** (acceptance >= 0.8,

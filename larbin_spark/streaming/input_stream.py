@@ -81,7 +81,7 @@ def windowed_submission_rate(spark: SparkSession, drop_dir: str,
             .agg(F.count("*").alias("n")))
 
 
-SESSION_STATE_SCHEMA = "n_urls LONG, first_ts TIMESTAMP"
+SESSION_STATE_SCHEMA = "n_urls LONG, first_ts TIMESTAMP, last_ts TIMESTAMP"
 SESSION_OUT_SCHEMA = ("host STRING, session_urls LONG, "
                       "session_seconds DOUBLE, closed BOOLEAN")
 
@@ -94,10 +94,12 @@ def host_session_tracker(spark: SparkSession, drop_dir: str,
     the kind of per-key mutable state (NamedSite fifo occupancy,
     site.cxx:61-121) that has no built-in streaming counterpart.
 
-    State per host = (url count, first-seen ts). A host whose state
-    sees no update for gap_seconds emits a closed session row via
-    timeout and clears. Returns an unstarted streaming DataFrame;
-    drive with foreachBatch/memory sink + processingTime trigger.
+    State per host = (url count, first-seen ts, last-seen ts). A host
+    whose state sees no update for gap_seconds emits a closed session
+    row via timeout and clears; the closed row's session_seconds is
+    the REAL span last_ts - first_ts (not the gap constant). Returns
+    an unstarted streaming DataFrame; drive with foreachBatch/memory
+    sink + processingTime trigger.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -115,15 +117,18 @@ def host_session_tracker(spark: SparkSession, drop_dir: str,
     def track(key, pdfs, state: GroupState):
         host = key[0]
         if state.hasTimedOut:
-            (n, first_ts) = state.get
+            (n, first_ts, last_ts) = state.get
             state.remove()
+            dur = 0.0
+            if first_ts is not None and last_ts is not None:
+                dur = (last_ts - first_ts).total_seconds()
             yield pd.DataFrame({
                 "host": [host], "session_urls": [n],
-                "session_seconds": [float(gap_seconds)],
+                "session_seconds": [dur],
                 "closed": [True]})
             return
-        n, first_ts = state.get if state.exists else (0, None)
-        last_ts = first_ts
+        n, first_ts, last_ts = (state.get if state.exists
+                                else (0, None, None))
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -132,7 +137,7 @@ def host_session_tracker(spark: SparkSession, drop_dir: str,
             t1 = pdf["ts"].max()
             first_ts = t0 if first_ts is None else min(first_ts, t0)
             last_ts = t1 if last_ts is None else max(last_ts, t1)
-        state.update((n, first_ts))
+        state.update((n, first_ts, last_ts))
         state.setTimeoutDuration(gap_seconds * 1000)
         dur = 0.0
         if first_ts is not None and last_ts is not None:
