@@ -56,6 +56,11 @@ class QUrl:
     qseq: int
     transfer_seq: int = -1
     cookie: Optional[str] = None   # url.h:126, useCookies only
+    tag: int = 0                   # url.h:120-123 (URL_TAGS): user id
+                                   # from the input port; redirects
+                                   # inherit (file.cxx:551-553),
+                                   # extracted links get 0 (ctor
+                                   # url.cxx:185-187)
 
 
 @dataclass
@@ -130,6 +135,7 @@ class CrawlOracle:
         self.fetch_log: List[Tuple[int, str, str]] = []  # (round, url, error)
         self.emitted: List[Tuple[int, int, str]] = []    # (round, seq, doc_id)
         self.cookies: List[Tuple[int, Optional[str]]] = []  # (seq, sent)
+        self.tags: List[Tuple[int, int]] = []    # (seq, URL_TAGS id)
         self.errors: Dict[str, int] = {}
 
     # ---- helpers -------------------------------------------------
@@ -153,8 +159,8 @@ class CrawlOracle:
         self._count_error(reason)
 
     def _enqueue(self, u: ParsedUrl, queue: str,
-                 cookie: Optional[str] = None) -> None:
-        self.queues[queue].append(QUrl(u, self.qseq, cookie=cookie))
+                 cookie: Optional[str] = None, tag: int = 0) -> None:
+        self.queues[queue].append(QUrl(u, self.qseq, cookie=cookie, tag=tag))
         self.qseq += 1
 
     def _urls_in_ram(self) -> int:
@@ -169,7 +175,7 @@ class CrawlOracle:
         self._check(u, None)
 
     def _check(self, u: ParsedUrl, rnd: Optional[int],
-               cookie: Optional[str] = None) -> None:
+               cookie: Optional[str] = None, tag: int = 0) -> None:
         bucket = url_hash(u.host, u.port, u.path, self.cfg.hash_size)
         if bucket in self.seen:
             self._count_error(URL_DUP)
@@ -177,9 +183,27 @@ class CrawlOracle:
         self.seen.add(bucket)
         if (self.cfg.specific_search and self.cfg.privileged_exts
                 and match_priv_ext(u.path, self.cfg.privileged_exts)):
-            self._enqueue(u, "priority", cookie)
+            self._enqueue(u, "priority", cookie, tag)
         else:
-            self._enqueue(u, "disk", cookie)
+            self._enqueue(u, "disk", cookie, tag)
+
+    def submit(self, raw: str, priority: int = 0, test: int = 1,
+               tag: int = 0, depth: Optional[int] = None) -> None:
+        """Entry point B: one input-port submission
+        (input.cxx:125-160). test=1 -> testSet: an already-seen URL is
+        dropped SILENTLY (no urlDup count — unlike checker.cxx);
+        test=0 -> force-set the seen bit and enqueue regardless.
+        priority>0 routes to URLsPriority. The tag is the URL_TAGS id
+        parsed off the line (url.cxx:223-228)."""
+        u = parse_url(raw, self.cfg.depth_in_site if depth is None else depth,
+                      None)
+        if u is None:
+            return
+        bucket = url_hash(u.host, u.port, u.path, self.cfg.hash_size)
+        if test and bucket in self.seen:
+            return
+        self.seen.add(bucket)
+        self._enqueue(u, "priority" if priority else "disk", None, tag)
 
     # ---- phase B: sequencer --------------------------------------
 
@@ -228,7 +252,7 @@ class CrawlOracle:
                     return
             # bounce to the matching wait queue, fresh queue position
             self._enqueue(q.u, "priority_wait" if prio else "disk_wait",
-                          q.cookie)
+                          q.cookie, q.tag)
             return
         slot.nburls += 1
         if (slot.dns_state == WAIT_DNS or slot.name != puny
@@ -361,6 +385,7 @@ class CrawlOracle:
             # always null when use_cookies is off — recorded either
             # way so the parity compare is symmetric
             self.cookies.append((seq, q.cookie))
+            self.tags.append((seq, q.tag))
             doc = self.documents.get(q.u.url)
             if doc is None:
                 self.fetch_log.append((rnd, q.u.url, ERR_40X))
@@ -378,7 +403,7 @@ class CrawlOracle:
                     # headers do NOT capture cookies (addCookie is
                     # only called from parseHeader, file.cxx:469)
                     self._links(rnd, seq, q.u, [(doc.redirect_to, True)],
-                                q.cookie)
+                                q.cookie, page_tag=q.tag)
                 self.fetch_log.append((rnd, q.u.url, ERR_30X))
                 self._count_error(ERR_30X)
                 continue
@@ -421,9 +446,12 @@ class CrawlOracle:
                         page_cookie)
 
     def _links(self, rnd: int, seq: int, page: ParsedUrl, links,
-               page_cookie: Optional[str] = None) -> None:
+               page_cookie: Optional[str] = None,
+               page_tag: int = 0) -> None:
         """manageUrl + initOK + check per link (file.cxx:329-357,
-        url.cxx:343-391, checker.cxx:44-64)."""
+        url.cxx:343-391, checker.cxx:44-64). Only redirect children
+        inherit the page tag (file.cxx:551-553); extracted links get
+        the ctor default 0."""
         cfg = self.cfg
         for item, is_redir in links:
             if isinstance(item, str):
@@ -467,7 +495,8 @@ class CrawlOracle:
                         and not is_allowed(u.path, slot.forbidden, cfg.ignore_robots)):
                     self._count_error(FAST_ROBOTS)
                     continue
-            self._check(u, rnd, link_cookie)
+            self._check(u, rnd, link_cookie,
+                        tag=page_tag if is_redir else 0)
 
     # ---- main loop -----------------------------------------------
 
@@ -476,13 +505,22 @@ class CrawlOracle:
                 and not any(s.fifo for s in self.slots.values())
                 and not any(b.fifo for b in self.buckets.values()))
 
-    def run(self, seeds: List[str], max_rounds: Optional[int] = None) -> dict:
+    def run(self, seeds: List[str], max_rounds: Optional[int] = None,
+            submissions: Optional[dict] = None) -> dict:
+        """submissions: {round -> [(raw, priority, test, tag), ...]}
+        delivered at the START of that round (entry point B joins the
+        pipeline at the sequencer, SURVEY §3.2)."""
         for s in seeds:
             self.add_seed(s)
         cfg = self.cfg
         limit = max_rounds if max_rounds is not None else (cfg.max_rounds or 10 ** 9)
         rnd = 0
-        while rnd < limit and not self._frontier_empty():
+        while rnd < limit:
+            if submissions and rnd in submissions:
+                for raw, priority, test, tag in submissions[rnd]:
+                    self.submit(raw, priority, test, tag)
+            if self._frontier_empty():
+                break
             if cfg.limit_page and self.pages_ok >= cfg.limit_page:
                 break
             # phase A: valve (main.cxx:190-199)
@@ -505,5 +543,6 @@ class CrawlOracle:
             "fetch_log": self.fetch_log,
             "emitted": self.emitted,
             "cookies": self.cookies,
+            "tags": self.tags,
             "pages_ok": self.pages_ok,
         }

@@ -19,7 +19,8 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
               store: Optional[SnapshotStore] = None,
               keep_snapshots: int = 3,
               resume: bool = False,
-              clock=None) -> CrawlState:
+              clock=None,
+              submissions: Optional[Dict[int, list]] = None) -> CrawlState:
     """Run rounds until the frontier drains or a limit hits
     (main.cxx:184-185: frontier-empty termination; limit_page is the
     limitPage analogue (limit_page.cxx:28-43); limit_time_sec is the
@@ -58,6 +59,11 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
     while rnd < max_rounds:
         if cfg.max_rounds and rnd >= cfg.max_rounds:
             break
+        # entry point B: input-port submission batches land at the
+        # start of their round, before any stop check fires (the
+        # simulator delivers in the same slot)
+        if submissions and rnd in submissions:
+            st = runner.submit(st, submissions[rnd])
         if cfg.limit_page and st.counters["pages_ok"] >= cfg.limit_page:
             break
         if cfg.limit_time_sec and clock() - t_start >= cfg.limit_time_sec:
@@ -82,6 +88,7 @@ def collect_results(st: CrawlState) -> dict:
     ordering = [(r["round"], r["fetch_seq"], r["url"])
                 for r in ordering_rows]
     cookies = [(r["fetch_seq"], r["cookie"]) for r in ordering_rows]
+    tags = [(r["fetch_seq"], r["tag"]) for r in ordering_rows]
     seen = sorted(r["bucket"] for r in st.seen.collect())
     fetch_log = sorted((r["round"], r["url"], r["error"])
                        for r in st.fetch_log.collect())
@@ -101,6 +108,7 @@ def collect_results(st: CrawlState) -> dict:
         "rounds": st.counters["round"],
         "ordering": ordering,
         "cookies": cookies,
+        "tags": tags,
         "seen": seen,
         "errors": dict(sorted(errors.items())),
         "fetch_log": fetch_log,

@@ -80,6 +80,7 @@ LINKS_SCHEMA = T.StructType([
     T.StructField("is_redir", T.BooleanType()),
     T.StructField("parent_host", T.StringType()),
     T.StructField("l_cookie", T.StringType()),
+    T.StructField("l_tag", T.IntegerType()),
 ])
 
 
@@ -185,7 +186,7 @@ class RoundRunner:
             queue = ("priority" if cfg.specific_search and cfg.privileged_exts
                      and match_priv_ext(u.path, cfg.privileged_exts) else "disk")
             st.counters[f"n_{queue}"] += 1
-            rows.append((u.url, u.host, u.port, u.path, u.depth, None,
+            rows.append((u.url, u.host, u.port, u.path, u.depth, None, 0,
                          st.counters["qseq_next"] + len(rows), queue))
         st.counters["qseq_next"] += len(rows)
         spark = self.spark
@@ -200,6 +201,60 @@ class RoundRunner:
                 spark.createDataFrame(
                     [(0, 0, "urlDup", n_dup_seeds)], METRICS_SCHEMA))
         return st
+
+    def submit(self, st: CrawlState, subs) -> CrawlState:
+        """Entry point B: a batch of input-port submissions
+        (input.cxx:125-160) unioned into the frontier before a round.
+        subs: [(raw_url, priority, test, tag), ...] in arrival order.
+
+        test=1 dedups against the seen set — already-seen URLs drop
+        SILENTLY (input.cxx:142-144 deletes without counting, unlike
+        checker.cxx's urlDup); test=0 force-sets the seen bit and
+        enqueues regardless. priority>0 -> the priority queue. tag is
+        the URL_TAGS id parsed off the submission line
+        (url.cxx:223-228).
+
+        Submission batches are bounded like seeds (the reference
+        parses them serially on the main thread), so routing runs
+        driver-side; the only cluster work is one bounded membership
+        probe against the seen table (filter on <=|subs| buckets)."""
+        cfg, spark = self.cfg, self.spark
+        from ..kernels.hashes import url_hash
+        parsed = []
+        for raw, priority, test, tag in subs:
+            u = parse_url(raw, cfg.depth_in_site, None)
+            if u is None:
+                continue
+            b = url_hash(u.host, u.port, u.path, cfg.hash_size)
+            parsed.append((u, int(priority), int(test), int(tag), b))
+        if not parsed:
+            return st
+        probe = {p[4] for p in parsed if p[2]}
+        hits = {r["bucket"] for r in
+                st.seen.filter(F.col("bucket").isin(*probe)).collect()} \
+            if probe else set()
+        rows, new_buckets = [], []
+        seen_now = set(hits)
+        for u, priority, test, tag, b in parsed:
+            if test and b in seen_now:
+                continue  # silent drop
+            if b not in seen_now:
+                seen_now.add(b)
+                if b not in hits:
+                    new_buckets.append((b,))
+            queue = "priority" if priority else "disk"
+            st.counters[f"n_{queue}"] += 1
+            rows.append((u.url, u.host, u.port, u.path, u.depth, None,
+                         tag, st.counters["qseq_next"] + len(rows), queue))
+        st.counters["qseq_next"] += len(rows)
+        from .state import SEEN_SCHEMA
+        new_tables = dict(st.tables)
+        new_tables["queues"] = st.queues.unionByName(
+            spark.createDataFrame(rows, QUEUE_SCHEMA))
+        if new_buckets:
+            new_tables["seen"] = st.seen.unionByName(
+                spark.createDataFrame(new_buckets, SEEN_SCHEMA))
+        return CrawlState(new_tables, st.counters)
 
     # ---------------- the round ----------------
 
@@ -398,8 +453,8 @@ class RoundRunner:
             F.row_number().over(Window.orderBy("bucket_head", "rn")) - 1
             + F.lit(C["fetch_seq_next"]))
         fetched = _lc(fetched.select(
-            "url", "host", "port", "path", "depth", "cookie", "slot_id",
-            "ip_hash", "transfer_seq", "fetch_seq"))
+            "url", "host", "port", "path", "depth", "cookie", "tag",
+            "slot_id", "ip_hash", "transfer_seq", "fetch_seq"))
         n_fetched = fetched.count()
         C["fetch_seq_next"] += n_fetched
         C["n_ip_queue"] -= n_fetched
@@ -420,7 +475,7 @@ class RoundRunner:
                  .select(*SLOTS_SCHEMA.names))
 
         ordering_new = fetched.select(F.lit(rnd).alias("round"),
-                                      "fetch_seq", "url", "cookie")
+                                      "fetch_seq", "url", "cookie", "tag")
 
         # ---------- phase E: fetch + parse + link pipeline ----------
         (queues, seen, dup_seen, log_e, metrics_e, docs_out_new,
@@ -718,14 +773,14 @@ class RoundRunner:
 
         docs_out_new = (pages.filter(F.col("final_error") == "success")
                         .select(F.lit(rnd).alias("round"), "fetch_seq",
-                                "doc_id", "spans"))
+                                "doc_id", "spans", "tag"))
 
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi
         use_cookies = bool(cfg.use_cookies)
         ex_in = pages.filter(F.col("final_error").isin("success", "err30X")) \
             .select("fetch_seq", "host", "port", "path", "depth", "spans",
-                    "redirect_to", "cookie", "set_cookie",
+                    "redirect_to", "cookie", "set_cookie", "tag",
                     (F.col("final_error") == "err30X").alias("redir_row"))
 
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -747,9 +802,11 @@ class RoundRunner:
                         if u is not None:
                             lc = pc if (use_cookies
                                         and u.host == row.host) else None
+                            # redirects inherit the page tag
+                            # (file.cxx:551-553)
                             out.append((row.fetch_seq, 0, u.url, u.host,
                                         u.port, u.path, u.depth, True,
-                                        row.host, lc))
+                                        row.host, lc, int(row.tag)))
                     else:
                         pc = (merge_cookie(row.cookie, row.set_cookie)
                               if use_cookies else None)
@@ -759,9 +816,11 @@ class RoundRunner:
                                 tup, page, get_image, get_cgi)):
                             lc = pc if (use_cookies
                                         and u.host == row.host) else None
+                            # extracted links get the ctor default
+                            # tag 0 (url.cxx:185-187)
                             out.append((row.fetch_seq, i, u.url, u.host,
                                         u.port, u.path, u.depth, False,
-                                        row.host, lc))
+                                        row.host, lc, 0))
                 yield pd.DataFrame(out, columns=cols)
 
         links = ex_in.mapInPandas(extract, LINKS_SCHEMA)
@@ -849,6 +908,7 @@ class RoundRunner:
             F.col("l_port").alias("port"), F.col("l_path").alias("path"),
             F.col("l_depth").alias("depth"),
             F.col("l_cookie").alias("cookie"),
+            F.col("l_tag").alias("tag"),
             queue_col.alias("queue"))
         new_rows = assign_global_seq(
             picked, ["fetch_seq", "link_idx"], "qseq", qseq_base)

@@ -22,6 +22,7 @@ QUEUE_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("depth", T.IntegerType()),
     T.StructField("cookie", T.StringType()),
+    T.StructField("tag", T.IntegerType()),
     T.StructField("qseq", T.LongType()),
     T.StructField("queue", T.StringType()),
 ])
@@ -33,6 +34,7 @@ SITE_FIFO_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("depth", T.IntegerType()),
     T.StructField("cookie", T.StringType()),
+    T.StructField("tag", T.IntegerType()),
     T.StructField("qseq", T.LongType()),
     T.StructField("slot_id", T.IntegerType()),
     T.StructField("fifo_pos", T.LongType()),
@@ -45,6 +47,7 @@ IP_QUEUE_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("depth", T.IntegerType()),
     T.StructField("cookie", T.StringType()),
+    T.StructField("tag", T.IntegerType()),
     T.StructField("slot_id", T.IntegerType()),
     T.StructField("ip_hash", T.IntegerType()),
     T.StructField("transfer_seq", T.LongType()),
@@ -80,6 +83,7 @@ ORDERING_SCHEMA = T.StructType([
     T.StructField("fetch_seq", T.LongType()),
     T.StructField("url", T.StringType()),
     T.StructField("cookie", T.StringType()),
+    T.StructField("tag", T.IntegerType()),
 ])
 
 METRICS_SCHEMA = T.StructType([
@@ -101,6 +105,7 @@ DOCS_OUT_SCHEMA = T.StructType([
     T.StructField("fetch_seq", T.LongType()),
     T.StructField("doc_id", T.StringType()),
     T.StructField("spans", SPAN_TYPE),
+    T.StructField("tag", T.IntegerType()),   # URL_TAGS id (url.h:120-123)
 ])
 
 TABLES = ("queues", "site_fifo", "ip_queue", "slots", "buckets",

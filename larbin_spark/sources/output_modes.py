@@ -51,23 +51,27 @@ def _hostport_path(df: DataFrame) -> DataFrame:
 
 
 def save_layout(docs_out: DataFrame,
-                files_per_dir: int = FILES_PER_DIR) -> DataFrame:
+                files_per_dir: int = FILES_PER_DIR,
+                url_tags: bool = False) -> DataFrame:
     """Mode-1 layout: the i-th successful page (0-based, fetch_seq
     order) lands at d{i//fpd:05d}/f{i%fpd:05d}; index_line mirrors the
-    reference's `"%4u " + writeUrl` record (save_user_output.cxx:89-94).
+    reference's `"%4u " + writeUrl` record (save_user_output.cxx:89-94),
+    or `"%4u (%u) " + writeUrl` when URL_TAGS is on
+    (save_user_output.cxx:88-90).
     """
     d = assign_global_seq(docs_out, ["fetch_seq"], "_ord", 0)
+    fileno = (F.col("_ord") % files_per_dir).cast("int")
+    if url_tags and "tag" in docs_out.columns:
+        index_line = F.format_string(
+            "%4d (%d) %s", fileno,
+            F.coalesce(F.col("tag"), F.lit(0)), F.col("doc_id"))
+    else:
+        index_line = F.format_string("%4d %s", fileno, F.col("doc_id"))
     return (d.withColumn(
         "dir", F.format_string("d%05d",
                                (F.col("_ord") / files_per_dir).cast("int")))
-        .withColumn("fname",
-                    F.format_string("f%05d",
-                                    (F.col("_ord") % files_per_dir)
-                                    .cast("int")))
-        .withColumn("index_line",
-                    F.format_string("%4d %s",
-                                    (F.col("_ord") % files_per_dir)
-                                    .cast("int"), F.col("doc_id")))
+        .withColumn("fname", F.format_string("f%05d", fileno))
+        .withColumn("index_line", index_line)
         .drop("_ord"))
 
 

@@ -23,19 +23,27 @@ from ..functions.udfs import canonicalize_udf, url_bucket_udf
 
 
 def parse_submissions(lines: DataFrame, hash_size: int = 64_000_000,
-                      keep=()) -> DataFrame:
+                      keep=(), url_tags: bool = False) -> DataFrame:
     """lines(value: string) -> frontier-delta rows with bucket ids.
-    `keep`: extra input columns carried through (e.g. an ingest ts)."""
-    parts = F.split(F.col("value"), " ", 4)
+    `keep`: extra input columns carried through (e.g. an ingest ts).
+    url_tags: lines carry a URL_TAGS id before the url
+    (`<priority> <depth> <test> <tag> <raw-url>` — the streaming form
+    of the reference's "<id> <url>" tagged input, url.cxx:223-228);
+    the tag column is 0 otherwise."""
+    n_parts = 5 if url_tags else 4
+    parts = F.split(F.col("value"), " ", n_parts)
+    tag_col = (parts.getItem(3).cast("int") if url_tags
+               else F.lit(0)).alias("tag")
     df = lines.select(
         parts.getItem(0).cast("int").alias("priority"),
         parts.getItem(1).cast("int").alias("depth"),
         parts.getItem(2).cast("int").alias("test"),
-        parts.getItem(3).alias("raw_url"), *keep)
+        tag_col,
+        parts.getItem(n_parts - 1).alias("raw_url"), *keep)
     df = df.withColumn("c", canonicalize_udf(
         "raw_url", F.lit(None), F.lit(None), F.lit(None)))
     df = (df.filter(F.col("c.valid"))
-          .select("priority", "depth", "test",
+          .select("priority", "depth", "test", "tag",
                   F.col("c.url").alias("url"), F.col("c.host").alias("host"),
                   F.col("c.port").alias("port"), F.col("c.path").alias("path"),
                   *keep))

@@ -94,3 +94,18 @@ def test_render_content_matches_dup_hash_input(spark):
     d = _docs_out(spark, ["http://h.com/x"])
     got = render_content_col(d).collect()[0]["content"]
     assert got == render_content([("text", "body 0", None, 0)])
+
+
+def test_save_layout_url_tags_index(spark):
+    """URL_TAGS index record: "%4u (%u) " + url
+    (save_user_output.cxx:88-90)."""
+    rows = [(0, 3, "http://h.com/a", [], 137),
+            (0, 13, "http://h.com/b", [], 0)]
+    d = spark.createDataFrame(
+        rows, "round int, fetch_seq long, doc_id string, spans "
+        "array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>, tag int")
+    out = {r["doc_id"]: r["index_line"]
+           for r in save_layout(d, url_tags=True).collect()}
+    assert out["http://h.com/a"] == "   0 (137) http://h.com/a"
+    assert out["http://h.com/b"] == "   1 (0) http://h.com/b"

@@ -101,3 +101,24 @@ def test_deduped_submission_stream(spark, tmp_path):
     assert urls == [("http://a.com/x.html", False),
                     ("http://a.com/x.html", True),
                     ("http://b.com/y.html", False)]
+
+
+def test_parse_submissions_url_tags(spark):
+    """URL_TAGS line form: `<priority> <depth> <test> <tag> <url>`
+    (the streaming form of the reference's tagged input,
+    url.cxx:223-228)."""
+    from larbin_spark.streaming.input_stream import parse_submissions
+    lines = spark.createDataFrame(
+        [("1 5 1 137 http://EX.com/a",),
+         ("0 3 0 0 http://other.org/x",)], "value string")
+    out = {r["url"]: r for r in
+           parse_submissions(lines, url_tags=True).collect()}
+    assert out["http://ex.com/a"]["tag"] == 137
+    assert out["http://ex.com/a"]["priority"] == 1
+    assert out["http://other.org/x"]["tag"] == 0
+    assert out["http://other.org/x"]["force_seen"] is True
+    # untagged form still yields tag 0
+    lines2 = spark.createDataFrame([("0 5 1 http://y.org/p",)],
+                                   "value string")
+    out2 = parse_submissions(lines2).collect()[0]
+    assert out2["tag"] == 0
