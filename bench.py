@@ -341,6 +341,16 @@ efficiency argument applies across machines rather than cores.
 
 Headline query times at sf{sf} on local[{CPUS}]:
 
+Notes: `crawl_round_sec` carries the fixed per-round driver cadence
+(~10 jobs + snapshot round-trip) plus, since the two-phase new-link
+sequence assignment landed, two extra bounded jobs per round — the
+price of removing the unbounded single-partition qseq window
+(docs/SCALE.md §5b); the scalable share dominates at real input
+sizes. `dedup_minhash_lsh` is the md5 engine-portable signature the
+DuckDB oracle must reproduce; `dedup_minhash_lsh_xx64` is the same
+plan with the JVM xxhash64 family — the scale path when no
+cross-engine oracle applies.
+
 """)
         for k, v in qtimes.items():
             fp.write(f"- {k}: {v}s\n")
