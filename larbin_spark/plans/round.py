@@ -249,12 +249,15 @@ class RoundRunner:
         st.counters["qseq_next"] += len(rows)
         from .state import SEEN_SCHEMA
         new_tables = dict(st.tables)
+        deltas = dict(st.deltas)
         new_tables["queues"] = st.queues.unionByName(
             spark.createDataFrame(rows, QUEUE_SCHEMA))
         if new_buckets:
-            new_tables["seen"] = st.seen.unionByName(
-                spark.createDataFrame(new_buckets, SEEN_SCHEMA))
-        return CrawlState(new_tables, st.counters)
+            bdf = spark.createDataFrame(new_buckets, SEEN_SCHEMA)
+            new_tables["seen"] = st.seen.unionByName(bdf)
+            deltas["seen"] = (deltas["seen"].unionByName(bdf)
+                              if "seen" in deltas else bdf)
+        return CrawlState(new_tables, st.counters, deltas)
 
     # ---------------- the round ----------------
 
@@ -478,8 +481,8 @@ class RoundRunner:
                                       "fetch_seq", "url", "cookie", "tag")
 
         # ---------- phase E: fetch + parse + link pipeline ----------
-        (queues, seen, dup_seen, log_e, metrics_e, docs_out_new,
-         n_links_new, n_success) = self._phase_e(
+        (queues, seen, seen_delta, dup_seen, dup_delta, log_e,
+         metrics_e, docs_out_new, n_links_new, n_success) = self._phase_e(
             st, fetched, rnd, C["qseq_next"] + n_bounce, queues)
         C["qseq_next"] += n_bounce + n_links_new
         C["pages_ok"] += n_success
@@ -501,14 +504,29 @@ class RoundRunner:
         new_tables["buckets"] = buckets
         new_tables["seen"] = seen
         new_tables["dup_seen"] = dup_seen
-        new_tables["fetch_log"] = (st.fetch_log.unionByName(log_b)
-                                   .unionByName(log_c).unionByName(log_e))
+        log_new = log_b.unionByName(log_c).unionByName(log_e)
+        new_tables["fetch_log"] = st.fetch_log.unionByName(log_new)
         new_tables["ordering"] = st.ordering.unionByName(ordering_new)
         new_tables["metrics"] = st.metrics.unionByName(metrics_e)
         new_tables["docs_out"] = st.tables["docs_out"].unionByName(docs_out_new)
+        # delta bookkeeping for the append-only snapshot commits:
+        # union with any rows already pending (e.g. submissions that
+        # landed on this state before the round)
+        deltas = dict(st.deltas)
+
+        def _acc(name: str, df: DataFrame) -> None:
+            deltas[name] = (deltas[name].unionByName(df)
+                            if name in deltas else df)
+
+        _acc("seen", seen_delta)
+        _acc("dup_seen", dup_delta)
+        _acc("fetch_log", log_new)
+        _acc("ordering", ordering_new)
+        _acc("metrics", metrics_e)
+        _acc("docs_out", docs_out_new)
         C["round"] = rnd + 1
         _mark("F:commit")
-        return CrawlState(new_tables, C)
+        return CrawlState(new_tables, C, deltas)
 
     # ---------------- phase C ----------------
 
@@ -760,6 +778,8 @@ class RoundRunner:
             # only classes that reach the dup test, matching endInput order
             dup_seen = st.dup_seen.unionByName(dup_new)
         else:
+            from .state import SEEN_SCHEMA as _SEEN
+            dup_new = spark.createDataFrame([], _SEEN)
             dup_seen = st.dup_seen
 
         pages = _lc(pages.withColumn(
@@ -920,7 +940,8 @@ class RoundRunner:
         st.counters["n_priority"] += lstats.get("priority", 0)
         st.counters["n_disk"] += lstats.get("disk", 0)
         queues = queues.unionByName(new_rows)
-        seen = st.seen.unionByName(novel.select("bucket"))
+        seen_delta = novel.select("bucket")
+        seen = st.seen.unionByName(seen_delta)
 
         # ---- metrics / lineage (O-19) ----
         gate_errors = links.filter(F.col("gate_err").isNotNull()) \
@@ -938,8 +959,9 @@ class RoundRunner:
         # forgets from phases B/C are appended by the caller into
         # fetch_log; their taxonomy counts live there.
 
-        return (queues, seen, dup_seen, log_e_pages, metrics_e,
-                docs_out_new, n_links_new, n_success)
+        return (queues, seen, seen_delta, dup_seen, dup_new,
+                log_e_pages, metrics_e, docs_out_new, n_links_new,
+                n_success)
 
     @property
     def _slots_for_fastfail(self) -> DataFrame:

@@ -112,6 +112,17 @@ TABLES = ("queues", "site_fifo", "ip_queue", "slots", "buckets",
           "seen", "dup_seen", "fetch_log", "ordering", "metrics",
           "docs_out")
 
+# grow-only tables: per-round snapshots append ONLY the round's delta
+# files (Iceberg-style), never rewrite history — a full rewrite of
+# e.g. docs_out every round would cost O(total) per round, O(R^2)
+# cumulative over a crawl. Mutable tables (queues/slots/...) are
+# rewritten in full; they are bounded by the in-flight budget.
+APPEND_ONLY = ("seen", "dup_seen", "fetch_log", "ordering", "metrics",
+               "docs_out")
+# compact (full rewrite) when a table's file-composition list reaches
+# this length: bounds read fan-in and lets prune drop old round dirs
+COMPACT_EVERY = 16
+
 _SCHEMAS = {
     "queues": QUEUE_SCHEMA, "site_fifo": SITE_FIFO_SCHEMA,
     "ip_queue": IP_QUEUE_SCHEMA, "slots": SLOTS_SCHEMA,
@@ -126,6 +137,10 @@ _SCHEMAS = {
 class CrawlState:
     tables: Dict[str, DataFrame]
     counters: Dict[str, int] = field(default_factory=dict)
+    # this state's not-yet-persisted appended rows per APPEND_ONLY
+    # table (relative to the snapshot the state was loaded from);
+    # consumed by save(), reset by load()
+    deltas: Dict[str, DataFrame] = field(default_factory=dict)
 
     def __getattr__(self, item):
         try:
@@ -154,13 +169,29 @@ class CrawlState:
         # concurrent writes: the tables are independent jobs and tiny
         # relative to scheduler overhead, so fan out driver-side
         from concurrent.futures import ThreadPoolExecutor
+        tables_meta: Dict[str, list] = {}
+
+        def _write(name: str) -> None:
+            range_col = self._RANGE_SHARDED.get(name)
+            if name in APPEND_ONLY and rnd > 0 and name in self.deltas:
+                try:
+                    prev = store.table_rounds(rnd - 1, name)
+                except FileNotFoundError:
+                    prev = None
+                if prev is not None and len(prev) < COMPACT_EVERY:
+                    store.write_delta(rnd, name, self.deltas[name],
+                                      range_col=range_col)
+                    tables_meta[name] = prev + [rnd]
+                    return
+            # mutable table, bootstrap, or compaction due: full write
+            store.write_table(rnd, name, self.tables[name],
+                              range_col=range_col)
+            tables_meta[name] = [rnd]
+
         with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
-            list(ex.map(
-                lambda name: store.write_table(
-                    rnd, name, self.tables[name],
-                    range_col=self._RANGE_SHARDED.get(name)),
-                TABLES))
-        store.commit(rnd, {"counters": self.counters, "round": rnd})
+            list(ex.map(_write, TABLES))
+        store.commit(rnd, {"counters": self.counters, "round": rnd,
+                           "tables": tables_meta})
 
     @classmethod
     def load(cls, spark: SparkSession, store: SnapshotStore,

@@ -3,11 +3,21 @@
 The reference persists its frontier as numbered FIFO files plus
 periodic bitmap dumps (persistent_fifo.cxx:186-216,
 hash_table.cxx:78-88) and resume is lossy (RAM queues lost). Here a
-*snapshot* is a directory `round=NNNNNN/` holding one parquet dataset
-per state table plus a `manifest.json` with the driver counters; the
+*snapshot* is a directory `round=NNNNNN/` holding parquet data per
+state table plus a `manifest.json` with the driver counters; the
 manifest is written last and a `_LATEST` pointer file is renamed into
 place atomically, so resume (`latest()`) is exact: re-read the tables
 of the newest complete snapshot and continue at `manifest["round"]`.
+
+Grow-only tables (docs_out, fetch_log, ordering, metrics, seen,
+dup_seen) commit as DELTAS: each round writes only its new rows and
+the manifest records the list of ancestor rounds whose files compose
+the full table (`tables: {name: [rounds...]}`) — Iceberg's
+append-commit shape (new data files + manifest reuse). Without this,
+round R would rewrite O(total) rows, O(R^2) cumulative over a crawl.
+Periodic compaction (full rewrite when the chain reaches
+COMPACT_EVERY) bounds read fan-in; prune expires snapshot manifests
+but keeps data dirs still referenced by a kept chain.
 
 This is the plain-filesystem stand-in for an Iceberg catalog (no
 Iceberg runtime jar is available in this sandbox); the protocol —
@@ -38,7 +48,9 @@ class SnapshotStore:
 
     def write_table(self, rnd: int, name: str, df: DataFrame,
                     parts: int = 4, range_col: Optional[str] = None) -> None:
-        """range_col: shard the table by range of that column and sort
+        """Full rewrite of a (mutable) table into this snapshot.
+
+        range_col: shard the table by range of that column and sort
         each file by it (docs/SCALE.md §3): files carry tight parquet
         min/max stats on the key, so membership probes prune to one
         shard and shard merges are sorted merges. This is the seam
@@ -53,16 +65,41 @@ class SnapshotStore:
             out = df.coalesce(parts)
         out.write.mode("overwrite").parquet(path)
 
+    def write_delta(self, rnd: int, name: str, delta: DataFrame,
+                    parts: int = 4,
+                    range_col: Optional[str] = None) -> None:
+        """Append commit for a grow-only table: write ONLY this
+        round's delta rows; the snapshot's manifest lists the ancestor
+        rounds whose files compose the full table (Iceberg's
+        new-data-files + manifest-reuse append). Per-round I/O is
+        O(delta) — a full rewrite would make round R cost O(total),
+        i.e. O(R^2) cumulative over a crawl."""
+        self.write_table(rnd, name, delta, parts, range_col)
+
+    def table_rounds(self, rnd: int, name: str) -> list:
+        """The rounds whose `name` files compose the table as of
+        snapshot rnd (from the manifest; [rnd] for full writes)."""
+        m = self.manifest(rnd)
+        return list(m.get("tables", {}).get(name, [rnd]))
+
     def read_table(self, spark: SparkSession, rnd: int, name: str,
                    schema=None) -> DataFrame:
-        path = os.path.join(self._snap_dir(rnd), name)
+        try:
+            rounds = self.table_rounds(rnd, name)
+        except FileNotFoundError:
+            rounds = [rnd]
+        paths = [os.path.join(self._snap_dir(r), name) for r in rounds]
+        paths = [p for p in paths if os.path.isdir(p)] or \
+            [os.path.join(self._snap_dir(rnd), name)]
         if schema is not None:
             # explicit schema: an empty table writes no part files
-            return spark.read.schema(schema).parquet(path)
-        return spark.read.parquet(path)
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.parquet(*paths)
 
     def commit(self, rnd: int, manifest: dict) -> None:
-        """Write the manifest, then atomically advance _LATEST."""
+        """Write the manifest, then atomically advance _LATEST.
+        manifest may carry `tables: {name: [rounds...]}` — the
+        file-composition lists written by CrawlState.save."""
         snap = self._snap_dir(rnd)
         os.makedirs(snap, exist_ok=True)
         with open(os.path.join(snap, "manifest.json"), "w") as fp:
@@ -84,12 +121,42 @@ class SnapshotStore:
             return json.load(fp)
 
     def prune(self, keep_last: int = 2) -> None:
-        """Drop old snapshots (like expiring Iceberg snapshots)."""
+        """Drop snapshots older than the keep window — EXCEPT round
+        dirs whose data files are still referenced by a kept
+        snapshot's manifest (delta appends reuse ancestor files, so
+        expiring a snapshot must not delete live data — Iceberg's
+        expire-snapshots vs orphan-file distinction). Compaction
+        (periodic full rewrites, CrawlState.save) resets the
+        reference chains so history stays bounded."""
         latest = self.latest()
         if latest is None:
             return
+        cutoff = latest - keep_last + 1
+        referenced = set()
         for entry in os.listdir(self.root):
             if entry.startswith("round="):
                 r = int(entry.split("=")[1])
-                if r < latest - keep_last + 1:
-                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+                if r >= cutoff:
+                    try:
+                        m = self.manifest(r)
+                    except FileNotFoundError:
+                        continue
+                    for rounds in m.get("tables", {}).values():
+                        referenced.update(rounds)
+        for entry in os.listdir(self.root):
+            if entry.startswith("round="):
+                r = int(entry.split("=")[1])
+                if r >= cutoff:
+                    continue
+                if r not in referenced:
+                    shutil.rmtree(os.path.join(self.root, entry),
+                                  ignore_errors=True)
+                else:
+                    # snapshot expired but its data files are still
+                    # composed into a kept table: drop only the
+                    # snapshot identity (manifest), keep the data
+                    try:
+                        os.remove(os.path.join(self._snap_dir(r),
+                                               "manifest.json"))
+                    except FileNotFoundError:
+                        pass

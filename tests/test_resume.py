@@ -43,8 +43,13 @@ def test_snapshot_prune_keeps_resume(spark, dims, seeds, tmp_path):
     store = SnapshotStore(str(tmp_path / "snaps2"))
     run_crawl(spark, CrawlConfig(), dims, list(seeds), max_rounds=3,
               store=store, keep_snapshots=2)
-    snaps = [e for e in os.listdir(store.root) if e.startswith("round=")]
-    assert len(snaps) <= 2
+    # expired SNAPSHOTS (manifests) are gone; data dirs referenced by
+    # a kept snapshot's delta chain survive (Iceberg expire-snapshots
+    # vs orphan-file distinction, catalog.py:prune)
+    with_manifest = [
+        e for e in os.listdir(store.root) if e.startswith("round=")
+        and os.path.exists(os.path.join(store.root, e, "manifest.json"))]
+    assert len(with_manifest) <= 2
     assert store.latest() == 3
     # the latest snapshot is loadable
     from larbin_spark.plans.state import CrawlState
