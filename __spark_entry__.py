@@ -20,9 +20,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# fixed handoff path for the synthetic media table: the Spark query
-# writes it, the DuckDB oracle reads it (gitignored scratch dir)
-_MULTIMODAL_MEDIA_PATH = "/root/repo/.cache/multimodal_media.parquet"
+# handoff path for the synthetic media table: the Spark query writes
+# it, the DuckDB oracle reads it (gitignored scratch dir next to this
+# module, so the contract works from any clone location)
+import os as _os
+_MULTIMODAL_MEDIA_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), ".cache",
+    "multimodal_media.parquet")
 
 
 # ---------------------------------------------------------------
@@ -157,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_neardup(spark, sf):
         return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"),
-                                             0.40, n_planes=8)
+                                             0.40, n_planes=4, n_bands=4)
 
     def q_multimodal(spark, sf):
         # the media table is synthesized (no media in the driver's
@@ -228,11 +232,13 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE guard IS NOT NULL)
 """
 
 
-def _lsh_planes_sql() -> str:
-    """Inline the md5-derived hyperplane coefficients (identical to
-    larbin_spark.pipeline.ann.hyperplane_lsh_buckets)."""
+def _lsh_planes_sql(n_planes: int = 8, offset: int = 0) -> str:
+    """Inline the md5-derived hyperplane coefficients for planes
+    [offset, offset+n_planes) (identical to
+    larbin_spark.pipeline.ann._bucket_expr: bit i weights 1<<i)."""
     terms = []
-    for p in range(8):
+    for i in range(n_planes):
+        p = offset + i
         coeffs = []
         for d in range(64):
             h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
@@ -240,7 +246,7 @@ def _lsh_planes_sql() -> str:
         arr = "[" + ",".join(coeffs) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
-            f"THEN {1 << p} ELSE 0 END)")
+            f"THEN {1 << i} ELSE 0 END)")
     return " + ".join(terms)
 
 
@@ -540,13 +546,24 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
   WHERE n.vec_id <> p.query_id)
 WHERE rank <= 10 ORDER BY query_id, rank""",
         "dedup_embedding_neardup": f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, CAST({_lsh_planes_sql()} AS INTEGER) AS bucket
-  FROM embeddings)
+WITH banded AS (
+  SELECT vec_id, 0 AS band,
+         CAST({_lsh_planes_sql(4, 0)} AS INTEGER) AS key FROM embeddings
+  UNION ALL SELECT vec_id, 1,
+         CAST({_lsh_planes_sql(4, 4)} AS INTEGER) FROM embeddings
+  UNION ALL SELECT vec_id, 2,
+         CAST({_lsh_planes_sql(4, 8)} AS INTEGER) FROM embeddings
+  UNION ALL SELECT vec_id, 3,
+         CAST({_lsh_planes_sql(4, 12)} AS INTEGER) FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
-  SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
-  FROM bucketed q JOIN bucketed c
-    ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+  SELECT id_a, id_b, {cos} AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = id_a
+  JOIN embeddings c ON c.vec_id = id_b)
 WHERE cos >= 0.40 ORDER BY id_a, id_b""",
         "multimodal_features": f"""
 SELECT media_id, kind,

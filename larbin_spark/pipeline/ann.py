@@ -50,30 +50,54 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
             .orderBy("query_id", "rank"))
 
 
-def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
-                           dim: int = 64) -> DataFrame:
-    """Sign-LSH bucket per vector: plane p's pseudo-random coefficient
-    for dimension d is derived from md5(f"{p}:{d}") -> first 8 hex
-    chars -> uint32 -> centered. Pure column arithmetic, portable."""
+def _bucket_expr(n_planes: int, dim: int, plane_offset: int = 0):
+    """Sign-LSH bucket expression over planes
+    [plane_offset, plane_offset + n_planes): plane p's pseudo-random
+    coefficient for dimension d is derived from md5(f"{p}:{d}") ->
+    first 8 hex chars -> uint32 -> centered. Pure column arithmetic,
+    portable (the DuckDB oracles inline identical coefficients)."""
     import hashlib
-    planes = []
-    for p in range(n_planes):
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for i in range(n_planes):
+        p = plane_offset + i
         coeffs = []
         for d in range(dim):
             h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
             coeffs.append((h - 0x7FFFFFFF) / float(0x7FFFFFFF))
-        planes.append(coeffs)
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    bits = []
-    for p, coeffs in enumerate(planes):
         arr = F.array(*[F.lit(c) for c in coeffs])
         dot = F.aggregate(F.zip_with(emb, arr, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
+                           dim: int = 64,
+                           plane_offset: int = 0) -> DataFrame:
+    """Sign-LSH bucket per vector (see _bucket_expr)."""
+    return embeddings.select(
+        "vec_id", _bucket_expr(n_planes, dim, plane_offset).alias("bucket"))
+
+
+def hyperplane_band_keys(embeddings: DataFrame, n_bands: int = 4,
+                         planes_per_band: int = 4,
+                         dim: int = 64) -> DataFrame:
+    """Multi-table (banded) sign-LSH: band b hashes with its own
+    disjoint plane set [b*r, (b+1)*r). Two vectors are candidates if
+    they collide in ANY band — P(candidate) = 1 - (1 - p^r)^B with
+    p = 1 - theta/pi, the classic OR-of-ANDs amplification (same
+    shape as MinHash banding). One scan computes every band key;
+    returns (vec_id, band, key)."""
+    cols = [F.struct(F.lit(b).alias("band"),
+                     _bucket_expr(planes_per_band, dim,
+                                  b * planes_per_band).alias("key"))
+            for b in range(n_bands)]
+    return (embeddings
+            .select("vec_id", F.explode(F.array(*cols)).alias("bk"))
+            .select("vec_id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,

@@ -55,7 +55,7 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                         threshold: float = 0.4,
-                        df_cap: int | None = 100) -> DataFrame:
+                        df_cap: int | None = None) -> DataFrame:
     """n-gram Jaccard >= threshold via distinct-shingle self-join.
 
     df_cap is the stop-shingle guard the self-join needs at scale: a
@@ -66,8 +66,9 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     AND sizes — classic stop-word semantics, so jaccard stays a true
     Jaccard over the capped sets). The hot-shingle list is tiny by
     construction (<= |shingles|/df_cap entries) and anti-joins
-    broadcast. df_cap=None disables the cap (exact all-shingle
-    semantics, the pytest oracle)."""
+    broadcast. df_cap=None (the default) is the exact all-shingle
+    semantics; the contract/scale path opts into the cap explicitly
+    (__spark_entry__ passes df_cap=100)."""
     sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
     if df_cap is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -167,29 +168,38 @@ def simhash64(documents: DataFrame) -> DataFrame:
 
 def embedding_neardup_pairs(embeddings: DataFrame,
                             threshold: float = 0.99,
-                            n_planes: int | None = 8) -> DataFrame:
+                            n_planes: int | None = 4,
+                            n_bands: int = 4) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
-    Default path: hyperplane-LSH bucketing (ann.hyperplane_lsh_buckets,
-    md5-derived planes so the DuckDB oracle computes identical
-    buckets) + exact-cosine verification of same-bucket pairs only —
-    the join shuffles on the bucket id, never all-pairs, so the plan
-    contains no CartesianProduct (asserted by tools/explain_audit.py).
-    Near-duplicate vectors land in the same bucket with probability
-    (1 - theta/pi)^n_planes, which -> 1 as cos -> 1; recall vs the
-    exact answer is measured in tests/test_analytics.py.
+    Default path: BANDED hyperplane LSH (ann.hyperplane_band_keys,
+    md5-derived planes so the DuckDB oracle computes identical keys):
+    candidates collide in ANY of n_bands tables of n_planes planes
+    each, then exact cosine verifies every candidate. Joins shuffle
+    on (band, key) — never all-pairs, no CartesianProduct (asserted
+    by tools/explain_audit.py). Candidate recall is the OR-of-ANDs
+    amplification 1-(1-p^r)^B with p = 1 - theta/pi: with the default
+    4x4, ~1.0 at cos 0.99, ~0.88 at cos 0.7, falling to ~0.5 right at
+    a loose 0.4 threshold — LSH is a scale/recall trade the caller
+    tunes via (n_planes, n_bands); perfect recall at near-1 cosine
+    (the near-DUP regime) is pinned in tests/test_analytics.py, and
+    candidate cosines are always exact (verification re-computes).
 
-    n_planes=None is the brute-force exact path — the pytest oracle,
-    never the scale path (O(N^2) crossJoin)."""
-    from .ann import cosine_expr, hyperplane_lsh_buckets
+    n_planes=None is the brute-force exact path — the pytest recall
+    oracle, never the scale path (O(N^2) crossJoin)."""
+    from .ann import cosine_expr, hyperplane_band_keys
     if n_planes is not None:
-        bk = hyperplane_lsh_buckets(embeddings, n_planes)
-        e = embeddings.join(bk, "vec_id")
-        a = e.select(F.col("vec_id").alias("id_a"),
-                     F.col("embedding").alias("emb_a"), "bucket")
-        b = e.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("emb_b"), "bucket")
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        keys = hyperplane_band_keys(embeddings, n_bands, n_planes)
+        a = keys.select(F.col("vec_id").alias("id_a"), "band", "key")
+        b = keys.select(F.col("vec_id").alias("id_b"), "band", "key")
+        cand = (a.join(b, ["band", "key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        emb_a = embeddings.select(F.col("vec_id").alias("id_a"),
+                                  F.col("embedding").alias("emb_a"))
+        emb_b = embeddings.select(F.col("vec_id").alias("id_b"),
+                                  F.col("embedding").alias("emb_b"))
+        pairs = cand.join(emb_a, "id_a").join(emb_b, "id_b")
     else:
         a = embeddings.select(F.col("vec_id").alias("id_a"),
                               F.col("embedding").alias("emb_a"))

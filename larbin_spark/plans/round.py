@@ -229,7 +229,12 @@ class RoundRunner:
             parsed.append((u, int(priority), int(test), int(tag), b))
         if not parsed:
             return st
-        probe = {p[4] for p in parsed if p[2]}
+        # probe EVERY submitted bucket (not just test=1): a test=0
+        # force-set on an already-seen URL must be a no-op on the
+        # seen TABLE (the reference's seen->set is an idempotent bit
+        # set) — probing only test=1 buckets would append a duplicate
+        # bucket row and diverge from the oracle's set
+        probe = {p[4] for p in parsed}
         hits = {r["bucket"] for r in
                 st.seen.filter(F.col("bucket").isin(*probe)).collect()} \
             if probe else set()

@@ -192,6 +192,10 @@ class CrawlState:
             list(ex.map(_write, TABLES))
         store.commit(rnd, {"counters": self.counters, "round": rnd,
                            "tables": tables_meta})
+        # the deltas are now persisted in THIS snapshot's chain; a
+        # second save of the same state must not write them again
+        # (it falls back to full writes, which are always correct)
+        self.deltas = {}
 
     @classmethod
     def load(cls, spark: SparkSession, store: SnapshotStore,

@@ -89,8 +89,14 @@ class SnapshotStore:
         except FileNotFoundError:
             rounds = [rnd]
         paths = [os.path.join(self._snap_dir(r), name) for r in rounds]
-        paths = [p for p in paths if os.path.isdir(p)] or \
-            [os.path.join(self._snap_dir(rnd), name)]
+        # a referenced chain ancestor that is GONE is data loss, not
+        # something to silently skip (even an empty delta writes a
+        # dir) — fail loud rather than resume a truncated table
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing and len(paths) > 1:
+            raise FileNotFoundError(
+                f"snapshot chain for table {name!r} at round {rnd} is "
+                f"missing referenced data dirs: {missing}")
         if schema is not None:
             # explicit schema: an empty table writes no part files
             return spark.read.schema(schema).parquet(*paths)

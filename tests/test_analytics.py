@@ -134,12 +134,13 @@ def test_embedding_neardup_bucketed_subset_of_exact(spark):
              for r in embedding_neardup_pairs(df, 0.99, n_planes=None)
              .collect()}
     lsh = {(r["id_a"], r["id_b"]): r["cos_r"]
-           for r in embedding_neardup_pairs(df, 0.99, n_planes=8)
-           .collect()}
+           for r in embedding_neardup_pairs(df, 0.99, n_planes=4,
+                                            n_bands=4).collect()}
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k]
-    # cos ~ 0.999998: same bucket w.h.p.; this fixture must hit 100%
+    # cos ~ 0.999998: banded candidate prob 1-(1-p^4)^4 ~ 1.0;
+    # this fixture must hit 100% recall
     assert set(lsh) == set(exact)
 
 

@@ -48,7 +48,8 @@ def test_fetch_ordering_exact(spark_result, oracle_result):
 
 def test_seen_set_exact(spark_result, oracle_result):
     sres, _ = spark_result
-    assert set(sres["seen"]) == set(oracle_result["seen"])
+    # multiset equality: each bucket exactly once in the seen table
+    assert sorted(sres["seen"]) == sorted(oracle_result["seen"])
 
 
 def test_error_taxonomy_exact(spark_result, oracle_result):

@@ -130,7 +130,10 @@ def test_redirect_inherits_tag(spark):
 
 def test_seen_and_taxonomy_exact(results):
     sres, ores = results
-    assert set(sres["seen"]) == set(ores["seen"])
+    # sorted-list (multiset) equality: the seen table must hold each
+    # bucket ONCE — set() comparison would mask a duplicate append
+    # (e.g. a test=0 re-submission force-setting an existing bucket)
+    assert sorted(sres["seen"]) == sorted(ores["seen"])
     assert sres["errors"] == ores["errors"]
     assert sorted(sres["fetch_log"]) == sorted(
         (r, u, e) for r, u, e in ores["fetch_log"])
