@@ -163,6 +163,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"),
                                              0.40, n_planes=4, n_bands=4)
 
+    def q_save_layout(spark, sf):
+        # O-14 mode-1 layout cross-engine: deterministic fetch order
+        # derived from doc_id, small files_per_dir so the dir
+        # rotation is exercised at sf0.01
+        from pyspark.sql import Window
+        from larbin_spark.sources.output_modes import save_layout
+        d = (_t(spark, sf, "documents")
+             .select(F.col("doc_id"),
+                     (F.row_number().over(Window.orderBy("doc_id")) - 1)
+                     .cast("long").alias("fetch_seq"),
+                     F.lit(None).cast(
+                         "array<struct<kind:string,text:string,"
+                         "media_ref:string,offset:int>>").alias("spans")))
+        return (save_layout(d.withColumn("round", F.lit(0)),
+                            files_per_dir=64)
+                .select(F.col("doc_id").alias("url"), "dir", "fname",
+                        "index_line")
+                .orderBy("url"))
+
     def q_multimodal(spark, sf):
         # the media table is synthesized (no media in the driver's
         # tables) and written to a fixed parquet path so the DuckDB
@@ -203,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding_neardup": q_neardup,
+        "crawl_save_layout": q_save_layout,
         "multimodal_features": q_multimodal,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
@@ -565,6 +585,17 @@ SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
   JOIN embeddings q ON q.vec_id = id_a
   JOIN embeddings c ON c.vec_id = id_b)
 WHERE cos >= 0.40 ORDER BY id_a, id_b""",
+        "crawl_save_layout": """
+WITH ordinal AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS ord
+  FROM documents)
+SELECT doc_id AS url,
+       printf('d%05d', CAST(ord // 64 AS INTEGER)) AS dir,
+       printf('f%05d', CAST(ord % 64 AS INTEGER)) AS fname,
+       printf('%4d %s', CAST(ord % 64 AS INTEGER),
+              CAST(doc_id AS VARCHAR)) AS index_line
+FROM ordinal ORDER BY url""",
         "multimodal_features": f"""
 SELECT media_id, kind,
        CAST(octet_length(payload) AS INTEGER) AS n_bytes,

@@ -61,15 +61,17 @@ def save_layout(docs_out: DataFrame,
     """
     d = assign_global_seq(docs_out, ["fetch_seq"], "_ord", 0)
     fileno = (F.col("_ord") % files_per_dir).cast("int")
+    # integer division (`div`), NOT `/`+cast: float division of a
+    # 10^10-scale ordinal can land a hair under the next integer and
+    # mis-bucket a file at the dir boundary
+    dirno = F.expr(f"_ord div {int(files_per_dir)}").cast("int")
     if url_tags and "tag" in docs_out.columns:
         index_line = F.format_string(
             "%4d (%d) %s", fileno,
             F.coalesce(F.col("tag"), F.lit(0)), F.col("doc_id"))
     else:
         index_line = F.format_string("%4d %s", fileno, F.col("doc_id"))
-    return (d.withColumn(
-        "dir", F.format_string("d%05d",
-                               (F.col("_ord") / files_per_dir).cast("int")))
+    return (d.withColumn("dir", F.format_string("d%05d", dirno))
         .withColumn("fname", F.format_string("f%05d", fileno))
         .withColumn("index_line", index_line)
         .drop("_ord"))
@@ -106,8 +108,8 @@ def specific_layout(docs_out: DataFrame, privileged_exts: List[str],
          .drop("_hostport", "_host", "_path"))
     d = assign_global_seq(d, ["fetch_seq"], "_ord", 0)
     return (d.withColumn(
-        "dir", F.format_string("d%05d",
-                               (F.col("_ord") / files_per_dir).cast("int")))
+        "dir", F.format_string(
+            "d%05d", F.expr(f"_ord div {int(files_per_dir)}").cast("int")))
         .withColumn("fname",
                     F.format_string("f%05d%s",
                                     (F.col("_ord") % files_per_dir)
