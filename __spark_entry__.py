@@ -21,8 +21,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # handoff path for the synthetic media table: the Spark query writes
-# it, the DuckDB oracle reads it (gitignored scratch dir next to this
-# module, so the contract works from any clone location)
+# it ATOMICALLY (single parquet file via tmp + os.replace, so a
+# concurrent contract run can never read a mid-overwrite torn file;
+# the table is deterministic, so either version is byte-identical),
+# the DuckDB oracle reads it. Gitignored scratch dir next to this
+# module, so the contract works from any clone location. Running the
+# oracle SQL standalone before the Spark query fails loud with
+# DuckDB's no-such-file error naming this path.
 import os as _os
 _MULTIMODAL_MEDIA_PATH = _os.path.join(
     _os.path.dirname(_os.path.abspath(__file__)), ".cache",
@@ -118,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_rate(spark, sf):
         return relational.windowed_event_rate(_t(spark, sf, "events"))
 
+    def q_ring(spark, sf):
+        return relational.ring_histogram(_t(spark, sf, "events"))
+
     def q_dedup_exact(spark, sf):
         return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -129,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), 16, 4, 3)
 
     def q_simhash(spark, sf):
-        return dedup.simhash64(_t(spark, sf, "documents"))
+        return dedup.simhash60(_t(spark, sf, "documents"))
 
     def q_clusters(spark, sf):
         return dedup.minhash_clusters(_t(spark, sf, "documents"), 16, 4, 3)
@@ -186,11 +194,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the media table is synthesized (no media in the driver's
         # tables) and written to a fixed parquet path so the DuckDB
         # oracle can audit the binary-column plumbing end to end:
-        # octet_length + md5-over-hex of the same BLOBs
+        # octet_length + md5-over-hex of the same BLOBs. Written as a
+        # single file via tmp + os.replace (atomic on POSIX): the
+        # oracle can never observe a mid-overwrite torn file. The
+        # fixture is 64 rows; the handoff is test plumbing, not a
+        # data path.
+        import pyarrow.parquet as _pq
+        import pyarrow as _pa
         from larbin_spark.pipeline import multimodal
         media = multimodal.make_media_table(spark, 64)
-        media.coalesce(1).write.mode("overwrite").parquet(
-            _MULTIMODAL_MEDIA_PATH)
+        _os.makedirs(_os.path.dirname(_MULTIMODAL_MEDIA_PATH),
+                     exist_ok=True)
+        tmp = f"{_MULTIMODAL_MEDIA_PATH}.tmp.{_os.getpid()}"
+        _pq.write_table(_pa.Table.from_pandas(media.toPandas()), tmp)
+        if _os.path.isdir(_MULTIMODAL_MEDIA_PATH):  # pre-r3 dir layout
+            import shutil as _shutil
+            _shutil.rmtree(_MULTIMODAL_MEDIA_PATH)
+        _os.replace(tmp, _MULTIMODAL_MEDIA_PATH)
         media_rt = spark.read.parquet(_MULTIMODAL_MEDIA_PATH)
         return (multimodal.extract_features(media_rt, fake=True)
                 .select("media_id", "kind", "n_bytes", "digest")
@@ -208,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_error_taxonomy": q_taxonomy,
         "crawl_size_histogram": q_histogram,
         "crawl_event_rate": q_rate,
+        "crawl_ring_histogram": q_ring,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_minhash_lsh": q_minhash,
@@ -379,6 +400,16 @@ SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_value_e6
 FROM events GROUP BY 1, 2 ORDER BY minute, event_type""",
+        "crawl_ring_histogram": """
+WITH sec AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+mx AS (SELECT max(sec) AS msec FROM sec),
+binned AS (SELECT r.res, sec.sec // r.res AS bucket
+           FROM sec, (VALUES (1), (60), (3600)) AS r(res))
+SELECT b.res, b.bucket, count(*) AS n
+FROM binned b, mx
+WHERE b.bucket > mx.msec // b.res - 8
+GROUP BY b.res, b.bucket
+ORDER BY res, bucket""",
         "dedup_exact": """
 SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY 1 ORDER BY digest""",
@@ -600,7 +631,7 @@ FROM ordinal ORDER BY url""",
 SELECT media_id, kind,
        CAST(octet_length(payload) AS INTEGER) AS n_bytes,
        md5(lower(hex(payload))) AS digest
-FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}/*.parquet')
+FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}')
 ORDER BY media_id""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,

@@ -50,6 +50,19 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
             .orderBy("query_id", "rank"))
 
 
+def infer_dim(embeddings: DataFrame, col: str = "embedding") -> int:
+    """Dimensionality of the embedding column (first row; O(1)).
+
+    The hyperplane coefficient arrays MUST match the vector length:
+    a mismatch makes zip_with pad with NULLs, the dot aggregate goes
+    NULL, every bucket collapses to the same value and the 'LSH'
+    silently degenerates to an all-pairs join — wrong recall AND a
+    quadratic blowup at scale. Callers that don't know dim statically
+    infer it from the data."""
+    row = embeddings.select(F.size(F.col(col)).alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
 def _bucket_expr(n_planes: int, dim: int, plane_offset: int = 0):
     """Sign-LSH bucket expression over planes
     [plane_offset, plane_offset + n_planes): plane p's pseudo-random
@@ -104,7 +117,7 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
              n_planes: int = 8) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates: the
     shuffle is by bucket (uniform), never all-pairs."""
-    dim = 64
+    dim = infer_dim(embeddings)
     b = hyperplane_lsh_buckets(embeddings, n_planes, dim)
     e = embeddings.join(b, "vec_id")
     q = (e.filter(F.col("vec_id") < n_queries)

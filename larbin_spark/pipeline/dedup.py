@@ -49,7 +49,6 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     return (d.groupBy("digest")
             .agg(F.min("doc_id").alias("keep_id"),
                  F.count("*").alias("n_dups"))
-            .filter(F.col("n_dups") >= 1)
             .orderBy("digest"))
 
 
@@ -146,10 +145,12 @@ def minhash_lsh_candidates(documents: DataFrame, n_hashes: int = 16,
             .orderBy("id_a", "id_b"))
 
 
-def simhash64(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from md5 token hashes: bit j of the
+def simhash60(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc from md5 token hashes: bit j of the
     fingerprint is 1 iff sum over tokens of (+1 if token-hash bit j
-    else -1) > 0. Token hash = first 16 hex chars of md5(token)."""
+    else -1) > 0. Token hash = first 15 hex chars (60 bits) of
+    md5(token) — 15, not 16, so the value stays inside a signed
+    64-bit long on both engines (DuckDB conv would overflow at 16)."""
     tok = (_tokens(documents)
            .select("doc_id", F.col("w").alias("token")))
     h = tok.withColumn(
@@ -187,9 +188,10 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 
     n_planes=None is the brute-force exact path — the pytest recall
     oracle, never the scale path (O(N^2) crossJoin)."""
-    from .ann import cosine_expr, hyperplane_band_keys
+    from .ann import cosine_expr, hyperplane_band_keys, infer_dim
     if n_planes is not None:
-        keys = hyperplane_band_keys(embeddings, n_bands, n_planes)
+        keys = hyperplane_band_keys(embeddings, n_bands, n_planes,
+                                    dim=infer_dim(embeddings))
         a = keys.select(F.col("vec_id").alias("id_a"), "band", "key")
         b = keys.select(F.col("vec_id").alias("id_b"), "band", "key")
         cand = (a.join(b, ["band", "key"])

@@ -115,6 +115,42 @@ def size_histogram(documents: DataFrame, bucket: int = 256) -> DataFrame:
             .orderBy("size_bucket"))
 
 
+def ring_histogram(events: DataFrame,
+                   resolutions=(1, 60, 3600),
+                   capacity: int = 8) -> DataFrame:
+    """O-19 multi-resolution ring histograms: the batch analogue of
+    the reference's 1 s / 60 s / 3600 s ring buffers
+    (src/utils/histogram.cxx:35-80) that fed the per-8-second rate
+    lines (src/main.cxx:212-233). A ring of capacity C at resolution
+    R holds counts for only the TRAILING C buckets of width R
+    seconds; older buckets are overwritten. Batch form: bucket every
+    event at each resolution in one scan (explode of #resolutions
+    structs — constant fan-out), keep buckets inside the trailing
+    window of the max timestamp (single-row broadcast), one partial
+    agg. No UDF, no per-resolution rescans."""
+    # naive timestamp -> epoch seconds via timestampdiff (whole
+    # seconds since the epoch literal: timezone-independent for NTZ
+    # and floor-truncating, exactly DuckDB's floor(epoch(ts)) —
+    # unix_timestamp() would shift by the session tz)
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).alias("sec")
+    secs = events.select(sec)
+    mx = secs.agg(F.max("sec").alias("msec"))
+    binned = secs.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("res"),
+                 F.expr(f"sec div {r}").alias("bucket"))
+        for r in resolutions])).alias("rb")) \
+        .select("rb.res", "rb.bucket")
+    return (binned.join(F.broadcast(mx))
+            .filter(F.col("bucket")
+                    > F.expr("msec div res") - F.lit(capacity))
+            .groupBy("res", "bucket")
+            .agg(F.count("*").alias("n"))
+            .select("res", "bucket", "n")
+            .orderBy("res", "bucket"))
+
+
 def windowed_event_rate(events: DataFrame) -> DataFrame:
     """O-19 rates: per-minute tumbling-window counts per event type
     (batch form of the streaming rate counters)."""

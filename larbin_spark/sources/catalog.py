@@ -145,8 +145,23 @@ class SnapshotStore:
                 if r >= cutoff:
                     try:
                         m = self.manifest(r)
-                    except FileNotFoundError:
-                        continue
+                    except (FileNotFoundError, json.JSONDecodeError) as e:
+                        if r > latest:
+                            # beyond _LATEST = never committed (crash
+                            # mid-write): it references nothing, skip
+                            continue
+                        # a KEPT committed snapshot is exactly one
+                        # whose delta chains must be preserved;
+                        # pruning with its manifest unreadable could
+                        # rmtree ancestor data dirs the chain
+                        # references — abort rather than risk
+                        # irrecoverable truncation
+                        raise RuntimeError(
+                            f"prune aborted: snapshot round={r} is in "
+                            f"the keep window but its manifest.json is "
+                            f"missing/corrupt ({e}); cannot establish "
+                            f"which ancestor data dirs are still "
+                            f"referenced") from e
                     for rounds in m.get("tables", {}).values():
                         referenced.update(rounds)
         for entry in os.listdir(self.root):

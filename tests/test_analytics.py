@@ -144,6 +144,52 @@ def test_embedding_neardup_bucketed_subset_of_exact(spark):
     assert set(lsh) == set(exact)
 
 
+def test_embedding_neardup_loose_threshold_recall(spark):
+    """Characterize (pin) the LSH approximation at a LOOSE threshold,
+    where banded 4x4 hyperplane LSH is intentionally partial: the
+    DuckDB contract oracle inlines the identical LSH, so the
+    cross-engine check alone proves both engines run the same
+    approximation — THIS test pins the approximation itself against
+    the exact brute-force oracle. Theory: candidate prob for a pair
+    at angle theta is 1-(1-p^4)^4 with p = 1 - theta/pi; at cos 0.4
+    (theta ~ 66.4deg) that is ~0.45, far below 1. Recall must sit in
+    the theoretical band — high enough that the banding works, and
+    STRICTLY below 1 so a silent switch to exact (or a vacuous
+    fixture) fails this test."""
+    import random
+    from larbin_spark.pipeline.dedup import embedding_neardup_pairs
+    rng = random.Random(7)
+    rows = []
+    # pairs with cosine concentrated JUST above the 0.4 threshold
+    # (theta ~ 60-66deg, candidate prob ~0.45-0.55): the regime where
+    # the approximation is visibly partial
+    for i in range(80):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((2 * i, base))
+        mix = rng.uniform(0.45, 0.55)
+        rows.append((2 * i + 1,
+                     [mix * x + (1 - mix ** 2) ** 0.5 * rng.gauss(0, 1)
+                      for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup_pairs(df, 0.4, n_planes=None)
+             .collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs(df, 0.4, n_planes=4,
+                                            n_bands=4).collect()}
+    assert len(exact) >= 20, "fixture must produce a meaningful pair set"
+    assert lsh <= exact            # candidates verified by exact cosine
+    recall = len(lsh) / len(exact)
+    # pinned characterization: approximate at loose thresholds — the
+    # per-pair candidate probs average ~0.57 on this fixture; the
+    # band has sampling slack but excludes both a broken LSH (~0) and
+    # a silent switch to exact/all-pairs (1.0). This test caught a
+    # real bug once: a hardcoded dim=64 against 32-dim vectors
+    # NULL-ed the plane dots and collapsed every bucket (recall 1.0).
+    assert 0.3 <= recall <= 0.85, f"recall {recall:.2f} out of band"
+
+
 def test_minhash_xxhash64_variant(spark):
     """hash_fn='xxhash64' must behave like a MinHash: exact-duplicate
     docs collide in every band (always candidates), and candidates

@@ -53,6 +53,14 @@ def test_seen_set_exact(spark_result, oracle_result):
 
 
 def test_error_taxonomy_exact(spark_result, oracle_result):
+    """FetchError taxonomy parity (types.h:108-127). 16/17 values are
+    exercised across the parity suites; the one NOT modeled is
+    `earlyStop` (types.h:117), fed by mid-transfer teardown
+    (fetch_pipe.cxx:167,201; file.cxx:571-576): a join-based fetch
+    has no partial-transfer state to tear down — an absent document
+    is the err40X branch, a slow one is `timeout`. There is no
+    observable crawl state the reference reaches through earlyStop
+    that this engine cannot reach through those two."""
     sres, _ = spark_result
     assert sres["errors"] == oracle_result["errors"]
 

@@ -98,3 +98,38 @@ def test_compaction_bounds_chain(spark, tmp_path):
     assert back.count() == rows
     # a compaction actually happened somewhere in the run
     assert len(store.table_rounds(last, "fetch_log")) < last + 1
+
+def test_prune_aborts_on_unreadable_kept_manifest(spark, tmp_path):
+    """A KEPT snapshot's manifest is exactly what tells prune which
+    ancestor data dirs are still referenced — if it is missing or
+    corrupt, prune must ABORT, not silently treat the snapshot as
+    referencing nothing (which could rmtree live delta-chain data)."""
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    st = CrawlState.empty(spark)
+    for rnd in range(4):
+        st.deltas["fetch_log"] = spark.createDataFrame(
+            [(rnd, f"http://x/{rnd}", "success")], _SCHEMAS["fetch_log"])
+        st.tables["fetch_log"] = st.tables["fetch_log"].unionByName(
+            st.deltas["fetch_log"])
+        st.save(store, rnd)
+    # corrupt the latest (kept) snapshot's manifest
+    with open(os.path.join(store._snap_dir(3), "manifest.json"), "w") as fp:
+        fp.write("{not json")
+    with pytest.raises(RuntimeError, match="prune aborted"):
+        store.prune(keep_last=1)
+    # every round dir must still exist — nothing was deleted
+    for r in range(4):
+        assert os.path.isdir(store._snap_dir(r)), r
+
+
+def test_prune_skips_uncommitted_trailing_dir(spark, tmp_path):
+    """A round dir BEYOND _LATEST (crash between table writes and
+    commit) has no manifest by construction; prune must skip it, not
+    abort."""
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    st = CrawlState.empty(spark)
+    for rnd in range(3):
+        st.save(store, rnd)
+    os.makedirs(store._snap_dir(3))  # torn write: data dir, no commit
+    store.prune(keep_last=1)
+    assert os.path.isdir(store._snap_dir(2))

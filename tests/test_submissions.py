@@ -128,6 +128,44 @@ def test_redirect_inherits_tag(spark):
     assert by_url["http://a.com/u.html"] == 0     # extracted link: 0
 
 
+def test_bitmap_path_matches_join_path(spark, dims, seeds, fixture_web,
+                                       results):
+    """Submissions mid-crawl with seen_bitmap_broadcast=True: submit()
+    must OR its force-set buckets into the CARRIED bitmap (CrawlState
+    .bitmaps), so the next round's membership probe sees them — the
+    whole run must equal the join-path result byte-for-byte."""
+    subs = _submissions(fixture_web)
+    cfg = CrawlConfig(seen_bitmap_broadcast=True)
+    st = run_crawl(spark, cfg, dims, list(seeds), max_rounds=ROUNDS,
+                   submissions=subs)
+    assert collect_results(st) == results[0]
+
+
+def test_large_submission_batch(spark, dims, seeds, fixture_web):
+    """The submit() seen-probe is a broadcast semi-join, not an
+    isin() literal — a 10^4-row batch must neither blow up the
+    Catalyst plan nor diverge from the oracle."""
+    bulk = [(f"http://bulk{i}.example.com/", i % 2, 1, i % 5)
+            for i in range(10_000)]
+    # duplicates inside the batch + re-submissions of crawled seeds:
+    # exercises the silent test=1 drop against both batch-local and
+    # table-resident seen state
+    bulk += [(f"http://bulk{i}.example.com/", 0, 1, 0)
+             for i in range(0, 10_000, 7)]
+    bulk += [("http://site0.example.com/", 0, 1, 9)]
+    subs = {1: bulk}
+    st = run_crawl(spark, CrawlConfig(), dims, list(seeds),
+                   max_rounds=3, submissions=subs)
+    sres = collect_results(st)
+
+    docs, hosts, robots, _ = to_oracle_inputs(fixture_web)
+    o = CrawlOracle(CrawlConfig(), docs, hosts, robots)
+    ores = o.run(list(seeds), max_rounds=3, submissions=subs)
+    assert sres["ordering"] == ores["ordering"]
+    assert sorted(sres["seen"]) == sorted(ores["seen"])
+    assert sres["errors"] == ores["errors"]
+
+
 def test_seen_and_taxonomy_exact(results):
     sres, ores = results
     # sorted-list (multiset) equality: the seen table must hold each
