@@ -75,14 +75,21 @@ def url_bucket_udf(host: pd.Series, port: pd.Series, path: pd.Series,
 
 
 @pandas_udf(T.IntegerType())
-def site_hash_udf(host: pd.Series) -> pd.Series:
+def site_hash_udf(host: pd.Series, size: pd.Series) -> pd.Series:
+    """siteHashCode % size (O-7 slot key). size is a lit column so the
+    config knob (cfg.named_site_list_size, types.h:35) actually
+    reaches the hash — the oracle simulator honors it, so a hardcoded
+    kernel default would silently diverge on a widened slot space."""
     from ..kernels.vectorized import site_hash_np
-    return pd.Series(site_hash_np(host), dtype="int32")
+    return pd.Series(site_hash_np(host, int(size.iloc[0])), dtype="int32")
 
 
 @pandas_udf(T.IntegerType())
-def ip_hash_udf(ip: pd.Series) -> pd.Series:
-    return pd.Series([ip_hash(x) if x is not None else 0 for x in ip],
+def ip_hash_udf(ip: pd.Series, size: pd.Series) -> pd.Series:
+    """ipHashCode % size (cfg.ip_site_list_size, types.h:36); see
+    site_hash_udf on why size is explicit."""
+    sz = int(size.iloc[0])
+    return pd.Series([ip_hash(x, sz) if x is not None else 0 for x in ip],
                      dtype="int32")
 
 

@@ -350,7 +350,8 @@ class RoundRunner:
             F.row_number().over(Window.orderBy("cls_order", "qseq")) - 1
             + F.lit(C["take_next"]))
         take = (take.withColumnRenamed("queue", "cls")
-                .withColumn("slot_id", site_hash_udf("host"))
+                .withColumn("slot_id", site_hash_udf(
+                    "host", F.lit(cfg.named_site_list_size)))
                 .withColumn("puny", _puny_col(cfg, F.col("host"))))
 
         slots_pref = st.slots.select(
@@ -626,7 +627,8 @@ class RoundRunner:
         heads = heads.withColumn(
             "new_ip_hash",
             F.when(F.col("outcome") == slot_logic.DONE_DNS,
-                   ip_hash_udf("ip")).otherwise(F.lit(0)))
+                   ip_hash_udf("ip", F.lit(cfg.ip_site_list_size)))
+            .otherwise(F.lit(0)))
         robots_2xx = (F.col("rob_status").isNotNull()
                       & (F.col("rob_status") >= 200) & (F.col("rob_status") < 300))
         heads = heads.withColumn(
@@ -944,7 +946,9 @@ class RoundRunner:
             "gate_err", F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
             .when(F.col("l_depth") < 0, "tooDeep"))
 
-        links = links.withColumn("l_slot_id", site_hash_udf("l_host"))
+        links = links.withColumn(
+            "l_slot_id",
+            site_hash_udf("l_host", F.lit(cfg.named_site_list_size)))
         slots_now = self._slots_for_fastfail
         links = links.join(F.broadcast(slots_now), "l_slot_id", "left")
         ff = ((F.col("ff_name") == F.col("l_host"))

@@ -87,9 +87,12 @@ def mirror_layout(docs_out: DataFrame,
     rel = F.concat(F.col("_hostport"), F.col("_path"))
     rel = F.when(rel.endswith("/"), F.concat(rel, F.lit(INDEX_FILE))) \
         .otherwise(rel)
+    from ..kernels.hashes import NAMED_SITE_LIST_SIZE
     return (d.withColumn(
         "dir", F.format_string(
-            "d%05d", (site_hash_udf("_host") % n_dirs).cast("int")))
+            "d%05d", (site_hash_udf("_host",
+                                    F.lit(NAMED_SITE_LIST_SIZE))
+                      % n_dirs).cast("int")))
         .withColumn("rel_path", rel)
         .drop("_hostport", "_host", "_path"))
 

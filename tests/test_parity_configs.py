@@ -30,6 +30,12 @@ CONFIGS = {
     "budgets": dict(fetch_cap_per_round=7, dns_per_round=3,
                     seq_per_round=40),
     "cookies": dict(use_cookies=True),
+    # config-widened slot spaces (the 10^10-scale setting, SCALE.md
+    # §1): the Spark-side site/ip hash UDFs must honor the knobs the
+    # oracle honors (types.h:35-36) — this caught them hardcoding the
+    # kernel defaults
+    "wide_slot_space": dict(named_site_list_size=1_000_000,
+                            ip_site_list_size=2_000_000),
 }
 
 
