@@ -222,6 +222,37 @@ def _burn(n):
     return s
 
 
+def _cluster_md(cluster: dict) -> str:
+    if not cluster:
+        return ("(none found — run `python tools/cluster_bench.py` "
+                "to produce it)")
+    if cluster.get("stale"):
+        return ("STALE artifact (digest or input size does not match "
+                "this run's thread-mode round) — re-run "
+                "`python tools/cluster_bench.py`. Raw: "
+                f"{json.dumps(cluster)}")
+    return (
+        f"- {cluster['executors_n']} executors -> "
+        f"{cluster['executors_4n']} executors "
+        f"({cluster['cores_per_executor']} cores each), "
+        f"{cluster['urls']:,} URLs\n"
+        f"- throughput: {cluster['urls_per_sec_n']:,.0f} /s at N, "
+        f"{cluster['urls_per_sec_4n']:,.0f} /s at 4N -> "
+        f"**executor-scaling efficiency "
+        f"{cluster['scaling_efficiency_executors']:.3f}**\n"
+        f"- scheduled-set digest identical across executor counts "
+        f"AND identical to the thread-mode digest above "
+        f"({cluster['digest']}) — the schedule is topology-invariant\n"
+        f"- raw samples (sec): {cluster['samples_sec']!r}"
+        + ("" if "crawl_topology_equality" not in cluster else
+           f"\n- END-TO-END: the full 4-round product crawl "
+           f"(run_crawl.py --digest) on local[8] threads vs 2 vs 8 "
+           f"executor JVMs emits "
+           f"{'IDENTICAL' if cluster['crawl_topology_equality'] == 1.0 else 'DIFFERING'} "
+           f"ordering/seen/docs digests: "
+           f"{json.dumps(cluster['crawl_digests']['local[8]'])}"))
+
+
 def main() -> None:
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH"), exist_ok=True)
@@ -274,6 +305,34 @@ def main() -> None:
     queries["scaling_efficiency"] = round(eff, 3)
     queries["parallelism_determinism"] = 1.0 if deterministic else 0.0
 
+    # executor-mode evidence (tools/cluster_bench.py: the same round
+    # through spark-submit --py-files on local-cluster[N,2,*] — W
+    # separate executor JVMs with real network shuffle — at N vs 4N
+    # executors). Folded in from its artifact when present; digest
+    # equality with the thread-mode runs above is asserted so a stale
+    # artifact for a different frontier/semantics can't slip in.
+    cluster = {}
+    cj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "cluster_scaling.json")
+    if os.path.exists(cj):
+        with open(cj) as fp:
+            cluster = json.load(fp)
+        if (cluster.get("digest") == list(digests.values())[0]
+                and cluster.get("urls") == n_in):
+            queries["cluster_exec_urls_per_sec_n"] = \
+                cluster["urls_per_sec_n"]
+            queries["cluster_exec_urls_per_sec_4n"] = \
+                cluster["urls_per_sec_4n"]
+            queries["cluster_scaling_efficiency_executors"] = \
+                cluster["scaling_efficiency_executors"]
+            queries["cluster_determinism_vs_threads"] = 1.0
+            if "crawl_topology_equality" in cluster:
+                queries["cluster_crawl_topology_equality"] = \
+                    cluster["crawl_topology_equality"]
+        else:
+            cluster = {"stale": True, **cluster}
+            queries["cluster_determinism_vs_threads"] = 0.0
+
     total = round(sum(qtimes.values()) +
                   sum(r["dt"] for r in runs.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -321,6 +380,19 @@ Raw samples per level (sec): {all_samples!r}
 - determinism across parallelism: scheduled-set digests
   {'MATCH' if deterministic else 'DIFFER'} across all levels
   (digest={list(digests.values())[0]}, n_sched={list(scheds.values())[0]})
+
+## Executor-mode scaling (N vs 4N separate executor JVMs)
+
+The north rule asks for spark-submit --py-files at N and 4N
+*executors*. `tools/cluster_bench.py` runs the identical round via
+`spark-submit --py-files dist/larbin_spark.zip` on
+`local-cluster[W,cores,mem]` — W genuinely separate executor JVMs
+(forked worker processes, own heaps + python workers, real
+serialized network shuffle between them), the closest thing to a
+multi-executor cluster this sandbox allows. Same fixed-count
+interleaved-reps protocol. Latest artifact (BENCH/cluster_scaling.json):
+
+{_cluster_md(cluster)}
 
 ## Hardware control (why N={n_a}, 4N={n_b})
 

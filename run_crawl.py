@@ -33,6 +33,12 @@ def main() -> None:
                     help="extra seed URL (repeatable); defaults to the "
                          "fixture's seeds table")
     ap.add_argument("--limit-page", type=int, default=0)
+    ap.add_argument("--digest", action="store_true",
+                    help="also print order-exact digests of the crawl "
+                         "ordering, seen set, and emitted docs (for "
+                         "cross-topology equality checks: the same "
+                         "crawl on local[N] threads vs local-cluster/"
+                         "real executors must print identical digests)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +61,35 @@ def main() -> None:
     store = SnapshotStore(args.snapshot_dir) if args.snapshot_dir else None
     st = run_crawl(spark, cfg, dims, seeds, max_rounds=args.rounds,
                    store=store, resume=args.resume)
+    digests = {}
+    if args.digest:
+        # Order-exact, distribution-independent: fetch_seq/qseq embed
+        # the ordering inside each hashed row, so a commutative
+        # bit_xor of row hashes is an exact equality check on the
+        # ordered content (rows are unique per table key, so XOR
+        # cancellation needs a hash collision) while staying a single
+        # overflow-free hash-agg job per table — no collect, no
+        # global sort, scale-safe at any frontier size.
+        from pyspark.sql import functions as F
+
+        def _dig(df, cols):
+            row = (df.select(F.xxhash64(*cols).alias("h"))
+                   .agg(F.expr("bit_xor(h)").alias("d"),
+                        F.count("*").alias("n")).collect()[0])
+            return [int(row["d"] or 0), int(row["n"])]
+
+        digests = {
+            "ordering_digest": _dig(
+                st.tables["ordering"],
+                ["round", "fetch_seq", "url",
+                 F.coalesce("cookie", F.lit("")), "tag"]),
+            "seen_digest": _dig(st.tables["seen"], ["bucket"]),
+            "docs_digest": _dig(
+                st.tables["docs_out"],
+                ["round", "fetch_seq", "doc_id", "spans", "tag"]),
+        }
     print(json.dumps({
+        **digests,
         "rounds": st.counters["round"],
         "pages_ok": st.counters["pages_ok"],
         "frontier_left": (st.counters["n_priority"]
