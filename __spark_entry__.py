@@ -272,6 +272,14 @@ sh0 AS (
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE guard IS NOT NULL)
 """
 
+# minhash base hash: integer value of the first 15 hex chars of
+# md5(shingle), mod the Mersenne prime — mirrors
+# larbin_spark.pipeline.dedup.minhash_signatures (hash_fn="md5")
+# exactly; same digit-sum construction the simhash oracle uses.
+_HB_DIGITS = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1)"
+    f" * {16 ** (14 - i)}" for i in range(15))
+
 
 def _lsh_planes_sql(n_planes: int = 8, offset: int = 0) -> str:
     """Inline the md5-derived hyperplane coefficients for planes
@@ -319,11 +327,16 @@ def oracle_sql() -> dict[str, str]:
            "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
            "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))")
 
+    from larbin_spark.pipeline.dedup import MINHASH_A, MINHASH_B, MINHASH_P
     minhash_aggs = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(16))
+        f"min(({MINHASH_A[i]} * hb + {MINHASH_B[i]}) % {MINHASH_P})"
+        f" AS mh{i}" for i in range(16))
+    shb_cte = (f"shb AS (SELECT doc_id, (({_HB_DIGITS}) % {MINHASH_P})"
+               f" AS hb FROM sh)")
     band_rows = []
     for b in range(4):
-        cols = " || '|' || ".join(f"mh{b * 4 + r}" for r in range(4))
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4))
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig")
     bands_sql = " UNION ALL ".join(band_rows)
 
@@ -431,7 +444,8 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.4
 ORDER BY id_a, id_b""",
         "dedup_minhash_lsh": f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+{shb_cte},
+sig AS (SELECT doc_id, {minhash_aggs} FROM shb GROUP BY doc_id),
 banded AS ({bands_sql})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
@@ -439,7 +453,8 @@ FROM banded a JOIN banded b
 ORDER BY id_a, id_b""",
         "dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+{shb_cte},
+sig AS (SELECT doc_id, {minhash_aggs} FROM shb GROUP BY doc_id),
 banded AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -455,7 +470,8 @@ SELECT n AS doc_id, min(m) AS cluster_id FROM walk
 GROUP BY n ORDER BY doc_id""",
         "dedup_keep_best": f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+{shb_cte},
+sig AS (SELECT doc_id, {minhash_aggs} FROM shb GROUP BY doc_id),
 banded AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

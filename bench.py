@@ -418,10 +418,11 @@ Notes: `crawl_round_sec` carries the fixed per-round driver cadence
 sequence assignment landed, two extra bounded jobs per round — the
 price of removing the unbounded single-partition qseq window
 (docs/SCALE.md §5b); the scalable share dominates at real input
-sizes. `dedup_minhash_lsh` is the md5 engine-portable signature the
-DuckDB oracle must reproduce; `dedup_minhash_lsh_xx64` is the same
-plan with the JVM xxhash64 family — the scale path when no
-cross-engine oracle applies.
+sizes. `dedup_minhash_lsh` is the engine-portable signature the
+DuckDB oracle must reproduce (ONE md5 per shingle + a universal-hash
+family over a Mersenne prime — bit-exact on both engines);
+`dedup_minhash_lsh_xx64` is the same plan with the JVM xxhash64
+family — the scale path when no cross-engine oracle applies.
 
 """)
         for k, v in qtimes.items():

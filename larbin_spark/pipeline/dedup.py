@@ -1,10 +1,10 @@
 """Deduplication family for large-scale training-data pipelines.
 
 Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
-embedding-cosine near-dup. All hashing is md5-based so the Spark
-plans and the DuckDB oracles agree bit-for-bit (md5 is identical
-everywhere; signatures are compared as hex strings to avoid
-float/int conversion divergence).
+embedding-cosine near-dup. All hashing bottoms out in md5 so the
+Spark plans and the DuckDB oracles agree bit-for-bit (md5 is
+identical everywhere; derived values stay in exact signed-64 integer
+arithmetic — never floats — so no conversion divergence).
 
 Scale notes (100 TB thinking):
 - exact dedup: map-side partial agg on the digest, one shuffle.
@@ -90,27 +90,45 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
             .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
 
 
+# Universal-hash family for the engine-portable MinHash path:
+# h_i(s) = (A[i] * (md5_60(s) % P) + B[i]) % P over the Mersenne
+# prime P = 2^31 - 1. One md5 per shingle (the expensive part), then
+# n_hashes fused integer ops — versus the old n_hashes-md5s-per-
+# shingle form this is ~4x cheaper at n=16 while staying bit-exact
+# across engines (DuckDB mirrors the same constants; md5_60 = integer
+# value of the first 15 hex chars, the same construction the simhash
+# oracle already uses). All operands stay < 2^62 so the arithmetic is
+# overflow-free in signed 64-bit on both engines.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [(1_103_515_245 * (i + 1) + 12_345) % MINHASH_P
+             for i in range(64)]
+MINHASH_B = [(2_654_435_761 * (i + 1)) % MINHASH_P for i in range(64)]
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
                        k: int = 3, hash_fn: str = "md5") -> DataFrame:
     """MinHash signature per doc: sig_i = min(h_i(shingle)).
 
-    hash_fn="md5": h_i = md5(i || '|' || shingle) as a hex string —
+    hash_fn="md5": h_i = (A[i] * (md5_60(shingle) % P) + B[i]) % P —
+    one md5 per shingle + a universal-hash family (constants above),
     engine-portable (the DuckDB oracle computes the identical
-    signature), the parity/contract path.
+    longs), the parity/contract path.
     hash_fn="xxhash64": h_i = xxhash64(i, shingle) as a long — a
-    single JVM codegen'd hash per shingle instead of an md5 of a
-    concatenated string; same statistical properties (any uniform
-    hash family works for MinHash), ~4x cheaper, the scale path when
-    no cross-engine oracle must agree (benchmarked separately in
-    bench.py)."""
+    single JVM codegen'd hash per shingle, no md5 at all; same
+    statistical properties (any uniform hash family works for
+    MinHash), the scale path when no cross-engine oracle must agree
+    (benchmarked separately in bench.py)."""
     sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
     if hash_fn == "xxhash64":
         aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
                 for i in range(n_hashes)]
     elif hash_fn == "md5":
-        aggs = [F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"),
-                                              F.col("shingle")),
-                                     "utf-8"))).alias(f"mh{i}")
+        hb = (F.conv(F.substring(F.md5(F.encode(F.col("shingle"), "utf-8")),
+                                 1, 15), 16, 10)
+              .cast("long") % MINHASH_P)
+        sh = sh.select("doc_id", hb.alias("hb"))
+        aggs = [F.min((F.lit(MINHASH_A[i]) * F.col("hb")
+                       + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"mh{i}")
                 for i in range(n_hashes)]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
