@@ -98,6 +98,46 @@ def _puny_col(cfg: CrawlConfig, host_col):
 _STATE_PARTITIONS = 8
 
 
+def _apply_per_slot(df: DataFrame, bucket_fn, schema) -> DataFrame:
+    """groupBy(slot_id)-equivalent applyInPandas with the per-group
+    Arrow overhead amortized.
+
+    A native `groupBy("slot_id").applyInPandas` pays ~3-5 ms of Arrow
+    serialization + pandas construction PER GROUP; with the reference's
+    20k open-addressed site slots (types.h:35) live, that is ~100 s per
+    round regardless of row volume — the per-group constant, not the
+    data, dominates at web scale. Instead shuffle on a coarse bucket of
+    slot_id (hash co-location still guarantees every row of a slot
+    lands in the same pandas call) and run `bucket_fn` once per bucket;
+    it iterates the slots internally via `_slot_spans` over a single
+    (slot_id, order)-sorted frame, so both the Arrow constant AND the
+    pandas constant are paid per bucket (~128), never per slot. Bucket
+    count only shapes parallelism, never results.
+    """
+    n_buckets = max(
+        64, df.sparkSession.sparkContext.defaultParallelism * 4)
+    bucketed = df.withColumn(
+        "_slot_bucket",
+        F.pmod(F.col("slot_id"), F.lit(n_buckets)).cast("int"))
+
+    def outer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(pdf.drop(columns=["_slot_bucket"]))
+
+    return bucketed.groupBy("_slot_bucket").applyInPandas(outer, schema)
+
+
+def _slot_spans(ids):
+    """Contiguous [i, j) index spans per slot over a slot_id-sorted
+    array — the zero-copy replacement for per-slot pandas groups."""
+    import numpy as np
+    arr = np.asarray(ids)
+    if arr.size == 0:
+        return []
+    starts = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
+    ends = np.r_[starts[1:], arr.size]
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
 def _lc(df: DataFrame, parts: int = _STATE_PARTITIONS) -> DataFrame:
     """Materialize + truncate lineage (in-memory commit; durable
     commits happen at the snapshot cadence).
@@ -365,33 +405,48 @@ class RoundRunner:
         take = take.join(F.broadcast(slots_pref), "slot_id", "left")
 
         def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("take_rank").reset_index(drop=True)
-            first = pdf.iloc[0]
+            # one vectorized pass per BUCKET of slots (see
+            # _apply_per_slot): sort once, extract row dicts once,
+            # then walk per-slot spans with pure-Python slot state —
+            # no per-slot pandas objects anywhere
+            pdf = (pdf.sort_values(["slot_id", "take_rank"])
+                   .reset_index(drop=True))
+            rows = pdf[["host", "port", "path", "puny", "cls"]] \
+                .to_dict("records")
+            sname = pdf["s_name"].tolist()
+            sport = pdf["s_port"].tolist()
+            sdns = pdf["s_dns_state"].tolist()
+            sforb = pdf["s_forbidden"].tolist()
+            snb = pdf["s_nburls"].tolist()
+            sexp = pdf["s_dns_expire_round"].tolist()
 
             def _scalar(v, default):
-                try:
-                    return default if v is None or pd.isna(v) else v
-                except (TypeError, ValueError):  # array-valued cell
-                    return v
-            slot = {
-                "name": _scalar(first["s_name"], ""),
-                "port": _scalar(first["s_port"], 0),
-                "dns_state": _scalar(first["s_dns_state"], None),
-                "forbidden": (None if first["s_forbidden"] is None
-                              else list(first["s_forbidden"])),
-                "nburls": _scalar(first["s_nburls"], 0),
-                "dns_expire_round": _scalar(first["s_dns_expire_round"], None),
-            }
-            rows = pdf[["host", "port", "path", "puny", "cls"]].to_dict("records")
-            acts = slot_logic.route_take(slot, rows, cfg_b, rnd)
-            pdf["action"] = [a for a, _ in acts]
-            pdf["err"] = [e for _, e in acts]
+                return default if v is None or v != v else v
+
+            n = len(rows)
+            actions = [None] * n
+            errs = [None] * n
+            for i, j in _slot_spans(pdf["slot_id"].to_numpy()):
+                slot = {
+                    "name": _scalar(sname[i], ""),
+                    "port": _scalar(sport[i], 0),
+                    "dns_state": _scalar(sdns[i], None),
+                    "forbidden": (None if sforb[i] is None
+                                  else list(sforb[i])),
+                    "nburls": _scalar(snb[i], 0),
+                    "dns_expire_round": _scalar(sexp[i], None),
+                }
+                acts = slot_logic.route_take(slot, rows[i:j], cfg_b, rnd)
+                actions[i:j] = [a for a, _ in acts]
+                errs[i:j] = [e for _, e in acts]
+            pdf["action"] = actions
+            pdf["err"] = errs
             pdf["s_ip_hash"] = pdf["s_ip_hash"].fillna(0).astype("int32")
             return pdf[[f.name for f in ROUTED_SCHEMA]]
 
         routed = _lc(self._cap(
             "B_routed",
-            take.groupBy("slot_id").applyInPandas(phase_b, ROUTED_SCHEMA)))
+            _apply_per_slot(take, phase_b, ROUTED_SCHEMA)))
         _mark("B:routed")
 
         bstats = {(r["cls"], r["action"]): r["n"] for r in
@@ -657,18 +712,31 @@ class RoundRunner:
         ignore_robots = cfg.ignore_robots
 
         def phase_c_scan(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("fifo_pos").reset_index(drop=True)
-            first = pdf.iloc[0]
+            # bucket-level pass (see _apply_per_slot): sort once, walk
+            # per-slot spans; per-slot head metadata is constant within
+            # a span, read from its first row via plain lists
+            pdf = (pdf.sort_values(["slot_id", "fifo_pos"])
+                   .reset_index(drop=True))
             rows = pdf[["puny", "port", "path"]].to_dict("records")
-            acts = slot_logic.resolve_fifo(
-                first["head_puny"], int(first["head_port"]), first["outcome"],
-                first["eff_forbidden"], ignore_robots, rows)
-            pdf["action"] = [a for a, _ in acts]
-            pdf["err"] = [e for _, e in acts]
+            hpuny = pdf["head_puny"].tolist()
+            hport = pdf["head_port"].tolist()
+            houtc = pdf["outcome"].tolist()
+            hforb = pdf["eff_forbidden"].tolist()
+            n = len(rows)
+            actions = [None] * n
+            errs = [None] * n
+            for i, j in _slot_spans(pdf["slot_id"].to_numpy()):
+                acts = slot_logic.resolve_fifo(
+                    hpuny[i], int(hport[i]), houtc[i],
+                    hforb[i], ignore_robots, rows[i:j])
+                actions[i:j] = [a for a, _ in acts]
+                errs[i:j] = [e for _, e in acts]
+            pdf["action"] = actions
+            pdf["err"] = errs
             return pdf[[f.name for f in RESOLVED_SCHEMA]]
 
-        resolved = _lc(scan_in.groupBy("slot_id")
-                       .applyInPandas(phase_c_scan, RESOLVED_SCHEMA))
+        resolved = _lc(_apply_per_slot(scan_in, phase_c_scan,
+                                       RESOLVED_SCHEMA))
         cstats = {r["action"]: r["n"] for r in
                   resolved.groupBy("action").agg(F.count("*").alias("n"))
                   .collect()}

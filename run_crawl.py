@@ -33,6 +33,19 @@ def main() -> None:
                     help="extra seed URL (repeatable); defaults to the "
                          "fixture's seeds table")
     ap.add_argument("--limit-page", type=int, default=0)
+    ap.add_argument("--seq-per-round", type=int, default=None,
+                    help="override CrawlConfig.seq_per_round (bench: "
+                         "widen the sequencer intake beyond the "
+                         "reference's 100/s-tick-derived default)")
+    ap.add_argument("--fetch-per-ip-per-round", type=int, default=None,
+                    help="override CrawlConfig.fetch_per_ip_per_round")
+    ap.add_argument("--named-site-list-size", type=int, default=None,
+                    help="override the site slot space (the reference "
+                         "compiles 20k, types.h:35; config-widened at "
+                         "scale per SCALE.md)")
+    ap.add_argument("--ip-site-list-size", type=int, default=None,
+                    help="override the ip politeness slot space "
+                         "(types.h:36)")
     ap.add_argument("--digest", action="store_true",
                     help="also print order-exact digests of the crawl "
                          "ordering, seen set, and emitted docs (for "
@@ -57,10 +70,22 @@ def main() -> None:
                  spark.read.parquet(f"{args.fixture_dir}/seeds.parquet")
                  .orderBy("order").collect()]
 
-    cfg = CrawlConfig(limit_page=args.limit_page)
+    cfg_kw = {"limit_page": args.limit_page}
+    if args.seq_per_round is not None:
+        cfg_kw["seq_per_round"] = args.seq_per_round
+    if args.fetch_per_ip_per_round is not None:
+        cfg_kw["fetch_per_ip_per_round"] = args.fetch_per_ip_per_round
+    if args.named_site_list_size is not None:
+        cfg_kw["named_site_list_size"] = args.named_site_list_size
+    if args.ip_site_list_size is not None:
+        cfg_kw["ip_site_list_size"] = args.ip_site_list_size
+    cfg = CrawlConfig(**cfg_kw)
     store = SnapshotStore(args.snapshot_dir) if args.snapshot_dir else None
+    import time
+    t0 = time.time()
     st = run_crawl(spark, cfg, dims, seeds, max_rounds=args.rounds,
                    store=store, resume=args.resume)
+    wall = round(time.time() - t0, 3)
     digests = {}
     if args.digest:
         # Order-exact, distribution-independent: fetch_seq/qseq embed
@@ -90,6 +115,7 @@ def main() -> None:
         }
     print(json.dumps({
         **digests,
+        "wall_sec": wall,
         "rounds": st.counters["round"],
         "pages_ok": st.counters["pages_ok"],
         "frontier_left": (st.counters["n_priority"]

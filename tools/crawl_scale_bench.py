@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""FULL-PIPELINE crawl scaling evidence: N vs 4N executors.
+
+tools/cluster_bench.py evidences the north rule's two-cluster-size
+criterion on the dominant dataflow (the scheduling+dedup round) and
+separately proves full-crawl DIGEST equality across executor
+topologies.  This tool closes the remaining gap: the WHOLE product
+crawl (run_crawl.py: sequencer, DNS+robots, politeness, simulated
+fetch join, parse, link extraction, dedup, frontier merge — every
+phase, every round) timed at N and 4N executor JVMs via spark-submit
+--py-files on `local-cluster`, same input, interleaved fixed-count
+reps, fastest kept, with order-exact output digests asserted equal
+across levels.
+
+The workload is a 20k-host synthetic web (~81k documents) seeded at
+every host root, with per-host distinct IPs (webgen's default
+arithmetic IPs collapse to 250 distinct values — a politeness
+chokepoint that would measure the valve, not the engine) and the
+site/ip slot spaces config-widened to 40k (SCALE.md: the reference's
+compiled 20k/10k, types.h:35-36, are RAM constants, not semantics).
+6 rounds crawl ~45k pages / assign ~77k URLs.
+
+Usage:
+    python tools/crawl_scale_bench.py      # writes BENCH/crawl_scaling.json
+
+Output JSON fields mirror BENCH/cluster_scaling.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_EXECUTORS = int(os.environ.get("SPARK_GRAFT_CLUSTER_N", "2"))
+CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "1"))
+WORKER_MEM_MB = int(os.environ.get("SPARK_GRAFT_CLUSTER_MEM_MB", "10240"))
+REPS = int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "20000"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "6"))
+
+CRAWL_ARGS = [
+    "--rounds", str(ROUNDS), "--digest",
+    "--seq-per-round", "200000",
+    "--fetch-per-ip-per-round", "4",
+    "--named-site-list-size", "40000",
+    "--ip-site-list-size", "40000",
+]
+
+
+def make_fixture() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from larbin_spark.fixtures.webgen import gen_web, write_parquet
+    import tempfile
+    outdir = os.path.join(tempfile.gettempdir(),
+                          f"crawl_scale_web_{N_HOSTS}")
+    if os.path.exists(os.path.join(outdir, "seeds.parquet")):
+        return outdir
+    web = gen_web(seed=777, n_hosts=N_HOSTS, base_pages=9,
+                  hot_hosts=40, hot_factor=6)
+    for i, h in enumerate(web["hosts"]):
+        if not h["ip"].startswith("10.0.0."):  # keep shared-IP pairs
+            h["ip"] = f"10.{1 + i // 65536}.{(i // 256) % 256}.{i % 256}"
+    write_parquet(web, outdir)
+    roots = sorted({h["host"] for h in web["hosts"]})
+    pq.write_table(
+        pa.table({"url": pa.array([f"http://{h}/" for h in roots],
+                                  pa.string()),
+                  "order": pa.array(range(len(roots)), pa.int32())}),
+        os.path.join(outdir, "seeds.parquet"))
+    return outdir
+
+
+def _spark_submit_bin() -> str:
+    import pyspark
+    return os.path.join(os.path.dirname(pyspark.__file__),
+                        "bin", "spark-submit")
+
+
+def run_crawl_at(n_exec: int, fixture_dir: str, log_path: str) -> dict:
+    master = f"local-cluster[{n_exec},{CORES_PER_EXEC},{WORKER_MEM_MB}]"
+    cmd = [
+        _spark_submit_bin(), "--master", master,
+        "--conf", f"spark.executor.memory={WORKER_MEM_MB - 1024}m",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.sql.shuffle.partitions="
+                  f"{max(8, n_exec * CORES_PER_EXEC)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", os.path.join(ROOT, "dist", "larbin_spark.zip"),
+        os.path.join(ROOT, "run_crawl.py"),
+        "--fixture-dir", fixture_dir,
+    ] + CRAWL_ARGS
+    with open(log_path, "ab") as log:
+        out = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=log,
+                             cwd=ROOT, check=True, text=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from crawl at {master}; see {log_path}")
+
+
+def main() -> None:
+    subprocess.run([sys.executable,
+                    os.path.join(ROOT, "tools", "package_pyfiles.py")],
+                   check=True, stdout=subprocess.DEVNULL)
+    fixture_dir = make_fixture()
+    import tempfile
+    log_path = os.path.join(tempfile.gettempdir(), "crawl_scale_bench.log")
+
+    n_a, n_b = N_EXECUTORS, N_EXECUTORS * 4
+    best: dict[int, dict] = {}
+    samples: dict[int, list] = {}
+    # fixed-count interleaved reps, fastest kept (same anti-bias
+    # protocol as bench.py / cluster_bench.py: never retry on a bad
+    # figure, publish every raw sample)
+    for n_exec in (n_a, n_b) * REPS:
+        r = run_crawl_at(n_exec, fixture_dir, log_path)
+        samples.setdefault(n_exec, []).append(r["wall_sec"])
+        if n_exec not in best or r["wall_sec"] < best[n_exec]["wall_sec"]:
+            best[n_exec] = r
+        time.sleep(3)
+
+    digkeys = ("ordering_digest", "seen_digest", "docs_digest")
+    digests_equal = all(
+        json.dumps(best[n_a][k]) == json.dumps(best[n_b][k])
+        for k in digkeys)
+    pages = best[n_a]["pages_ok"]
+    urls = best[n_a]["urls_assigned"]
+    thr = {n: pages / best[n]["wall_sec"] for n in (n_a, n_b)}
+    eff = (thr[n_b] / thr[n_a]) / (n_b / n_a)
+    result = {
+        "mode": "FULL crawl pipeline, local-cluster executor JVMs, "
+                "spark-submit --py-files",
+        "workload": {"hosts": N_HOSTS, "rounds": ROUNDS,
+                     "pages_ok": pages, "urls_assigned": urls,
+                     "fixture": os.path.basename(fixture_dir)},
+        "executors_n": n_a, "executors_4n": n_b,
+        "cores_per_executor": CORES_PER_EXEC,
+        "pages_per_sec_n": round(thr[n_a], 1),
+        "pages_per_sec_4n": round(thr[n_b], 1),
+        "urls_per_sec_4n": round(urls / best[n_b]["wall_sec"], 1),
+        "scaling_efficiency_executors": round(eff, 3),
+        "determinism_across_levels": 1.0 if digests_equal else 0.0,
+        "digests": {k: best[n_a][k] for k in digkeys},
+        "samples_sec": samples,
+    }
+    print(json.dumps(result))
+    out_json = os.path.join(ROOT, "BENCH", "crawl_scaling.json")
+    with open(out_json, "w") as fp:
+        json.dump(result, fp, indent=1)
+
+
+if __name__ == "__main__":
+    main()
