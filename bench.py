@@ -222,6 +222,34 @@ def _burn(n):
     return s
 
 
+def _crawl_scaling_md(cs: dict) -> str:
+    if not cs:
+        return ("(none found — run `python tools/crawl_scale_bench.py` "
+                "to produce it)")
+    w = cs["workload"]
+    return (
+        f"- workload: {w['hosts']:,}-host synthetic web, {w['rounds']} "
+        f"rounds, {w['pages_ok']:,} pages fetched / "
+        f"{w['urls_assigned']:,} URLs assigned\n"
+        f"- {cs['executors_n']} executors -> {cs['executors_4n']} "
+        f"executors ({cs['cores_per_executor']} cores each): "
+        f"{cs['pages_per_sec_n']:,.0f} pages/s -> "
+        f"{cs['pages_per_sec_4n']:,.0f} pages/s -> **full-pipeline "
+        f"executor-scaling efficiency "
+        f"{cs['scaling_efficiency_executors']:.3f}**\n"
+        f"- ordering/seen/docs digests "
+        f"{'IDENTICAL' if cs['determinism_across_levels'] == 1.0 else 'DIFFERING'} "
+        f"across every level run\n"
+        f"- raw samples (sec): {cs['samples_sec']!r}"
+        + ("" if "amdahl" not in cs else
+           f"\n- span decomposition (2-vs-32-thread sweep): wall "
+           f"{cs['amdahl']['wall_2_threads']}s at 2 threads vs "
+           f"{cs['amdahl']['wall_32_threads']}s at 32 — est. span "
+           f"{cs['amdahl']['span_sec_est']}s "
+           f"({cs['amdahl']['span_share_of_round']:.0%} of the "
+           f"2-thread wall). {cs['amdahl']['note']}"))
+
+
 def _cluster_md(cluster: dict) -> str:
     if not cluster:
         return ("(none found — run `python tools/cluster_bench.py` "
@@ -333,6 +361,25 @@ def main() -> None:
             cluster = {"stale": True, **cluster}
             queries["cluster_determinism_vs_threads"] = 0.0
 
+    # FULL-pipeline executor scaling (tools/crawl_scale_bench.py:
+    # the whole product crawl at N vs 4N executor JVMs). Folded in
+    # from its artifact when present; it carries its own digest
+    # cross-check across levels.
+    crawl_scaling = {}
+    csj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH", "crawl_scaling.json")
+    if os.path.exists(csj):
+        with open(csj) as fp:
+            crawl_scaling = json.load(fp)
+        queries["crawl_full_pages_per_sec_n"] = \
+            crawl_scaling["pages_per_sec_n"]
+        queries["crawl_full_pages_per_sec_4n"] = \
+            crawl_scaling["pages_per_sec_4n"]
+        queries["crawl_full_scaling_efficiency_executors"] = \
+            crawl_scaling["scaling_efficiency_executors"]
+        queries["crawl_full_determinism_across_executors"] = \
+            crawl_scaling["determinism_across_levels"]
+
     total = round(sum(qtimes.values()) +
                   sum(r["dt"] for r in runs.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -393,6 +440,18 @@ multi-executor cluster this sandbox allows. Same fixed-count
 interleaved-reps protocol. Latest artifact (BENCH/cluster_scaling.json):
 
 {_cluster_md(cluster)}
+
+## FULL-pipeline executor scaling (every crawl phase, N vs 4N JVMs)
+
+`tools/crawl_scale_bench.py` times the WHOLE product crawl
+(run_crawl.py through spark-submit --py-files: sequencer, DNS+robots,
+politeness, simulated fetch join, parse, link extraction, dedup,
+frontier merge — all rounds) at N and 4N executor JVMs on the same
+20k-host synthetic web, interleaved fixed-count reps, order-exact
+digests asserted equal across levels. Latest artifact
+(BENCH/crawl_scaling.json):
+
+{_crawl_scaling_md(crawl_scaling)}
 
 ## Hardware control (why N={n_a}, 4N={n_b})
 

@@ -58,6 +58,18 @@ class CrawlConfig:
     valve_open: int = 3              # first valve_open rounds of each period
                                      # drain the wait queues (main.cxx:190-199)
 
+    # durable-commit cadence (O-16): snapshot every K round
+    # boundaries. 1 = every round is durably resumable (the strictest
+    # setting, default). The reference itself persists periodically,
+    # not per-event (the seen hashtable is saved on a timer,
+    # src/fetch/checker.cxx + global.cxx saveInterval; the disk fifos
+    # sync in batches), so K>1 mirrors it while cutting ~7 parquet
+    # write jobs from the per-round fixed cadence; resume lands on
+    # the last committed boundary exactly. In-memory state between
+    # commits stays localCheckpoint-truncated (plans/round.py:_lc),
+    # so only the append-only tables carry K unions of lineage.
+    snapshot_every: int = 1
+
     # stop conditions (O-17)
     max_rounds: int = 0              # 0 = until frontier empty
     limit_page: int = 0              # 0 = unbounded successful pages

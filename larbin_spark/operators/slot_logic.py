@@ -3,8 +3,12 @@
 These pure functions implement NamedSite::putGenericUrl
 (site.cxx:136-207) and the dnsErr/robotsResult fifo scans
 (site.cxx:345-380, 415-480) for ONE slot, and run inside
-applyInPandas groups keyed by slot_id (20k open-addressed buckets,
-so group cardinality is bounded and the shuffle key is uniform).
+applyInPandas stages keyed by a coarse bucket of slot_id
+(plans/round.py:_apply_per_slot — co-location per slot is preserved
+by the bucket shuffle while the per-group Arrow constant is paid per
+bucket, not per slot; 20k open-addressed slots as native groups cost
+~100 s/round in pure per-group overhead). Group cardinality stays
+bounded and the shuffle key uniform.
 
 Scale note: the sequential dependency only exists while the slot is
 under capacity (< 64 rows). Once a slot is in overflow, every

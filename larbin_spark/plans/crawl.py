@@ -56,6 +56,7 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
         st.save(store, 0)  # bootstrap snapshot (before round 0)
         st = CrawlState.load(spark, store, 0)
 
+    committed = rnd
     while rnd < max_rounds:
         if cfg.max_rounds and rnd >= cfg.max_rounds:
             break
@@ -76,14 +77,40 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
             break
         st = runner.run_round(st, rnd)
         rnd += 1
-        st.save(store, rnd)
-        bitmaps = st.bitmaps
-        st = CrawlState.load(spark, store, rnd)
-        # the bitmap cache is exactly the seen/dup_seen content of the
-        # snapshot just committed, so it survives the reload boundary
-        # (a fresh resume starts cold and rebuilds from the tables)
-        st.bitmaps = bitmaps
-        store.prune(keep_last=keep_snapshots)
+        if rnd % max(1, cfg.snapshot_every) == 0:
+            st = _commit(spark, st, store, rnd, keep_snapshots)
+            committed = rnd
+        else:
+            # in-memory boundary between durable commits: truncate the
+            # HOT state tables (probed/joined again next round) so the
+            # union/anti-join chains of skipped rounds aren't
+            # recomputed per action; append-only log tables stay lazy
+            # unions of already-checkpointed deltas — nothing reads
+            # them inside the loop, so they cost nothing until the
+            # next durable commit writes them
+            from .round import _lc
+            for name in ("queues", "seen", "dup_seen", "ip_queue",
+                         "buckets"):
+                st.tables[name] = _lc(st.tables[name])
+    # trailing rounds since the last boundary become durable at exit,
+    # so the returned state is always resumable-from-here
+    if committed != rnd:
+        st = _commit(spark, st, store, rnd, keep_snapshots)
+    return st
+
+
+def _commit(spark: SparkSession, st: CrawlState, store: SnapshotStore,
+            rnd: int, keep_snapshots: int) -> CrawlState:
+    """Durable snapshot boundary: write the accumulated deltas, then
+    reload so Catalyst's size statistics reset to real file sizes
+    (plans/round.py phase F). The bitmap cache is exactly the
+    seen/dup_seen content of the snapshot just committed, so it
+    survives the reload (a fresh resume starts cold and rebuilds)."""
+    st.save(store, rnd)
+    bitmaps = st.bitmaps
+    st = CrawlState.load(spark, store, rnd)
+    st.bitmaps = bitmaps
+    store.prune(keep_last=keep_snapshots)
     return st
 
 

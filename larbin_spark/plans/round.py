@@ -40,8 +40,7 @@ from pyspark.sql import types as T
 
 from ..config import CrawlConfig
 from ..functions.udfs import (
-    content_bucket_udf, filter1_udf, ip_hash_udf, parse_robots_udf,
-    robots_allowed_udf, site_hash_udf, url_bucket_udf,
+    filter1_udf, robots_allowed_udf, site_hash_udf, url_bucket_udf,
 )
 from ..kernels.links import clean_redirect_text, extract_links
 from ..kernels.urlnorm import ParsedUrl, give_base, parse_url, punycode_host
@@ -67,6 +66,16 @@ RESOLVED_SCHEMA = T.StructType(
         T.StructField("new_ip_hash", T.IntegerType()),
         T.StructField("action", T.StringType()),
         T.StructField("err", T.StringType()),
+        # slot-constant head metadata, emitted on every row so the
+        # slot update (upd) is ONE aggregation over `resolved` instead
+        # of a separate checkpointed `heads` dataframe (the fused
+        # phase C: head resolve + robots parse + fifo scan in a single
+        # Arrow pass — see _phase_c)
+        T.StructField("proc_rank", T.LongType()),
+        T.StructField("head_puny", T.StringType()),
+        T.StructField("head_port", T.IntegerType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("eff_forbidden", T.ArrayType(T.StringType())),
     ])
 
 LINKS_SCHEMA = T.StructType([
@@ -337,12 +346,16 @@ class RoundRunner:
     def run_round(self, st: CrawlState, rnd: int) -> CrawlState:
         import os as _os, time as _time
         _prof = _os.environ.get("SPARK_GRAFT_PROFILE")
-        _t = [_time.time()]
+        _tracker = self.spark.sparkContext.statusTracker() if _prof else None
+        def _nj():
+            return len(_tracker.getJobIdsForGroup(None) or []) if _prof else 0
+        _t = [_time.time(), _nj()]
         def _mark(label):
             if _prof:
-                now = _time.time()
-                print(f"    [{label}] {now - _t[0]:.1f}s", flush=True)
-                _t[0] = now
+                now, jobs = _time.time(), _nj()
+                print(f"    [{label}] {now - _t[0]:.1f}s "
+                      f"{jobs - _t[1]}j", flush=True)
+                _t[0], _t[1] = now, jobs
         spark, cfg = self.spark, self.cfg
         C = st.counters
         cfg_b = {"max_urls_by_site": cfg.max_urls_by_site,
@@ -656,83 +669,100 @@ class RoundRunner:
             "proc_rank",
             F.row_number().over(Window.orderBy("dns_queue_pos")))
 
-        # head identity per queued slot = min fifo_pos row (newId)
-        fifo_q = site_fifo.join(F.broadcast(queued.select("slot_id")),
-                                "slot_id", "left_semi")
-        wh = Window.partitionBy("slot_id").orderBy("fifo_pos")
-        heads = (fifo_q.withColumn("hrn", F.row_number().over(wh))
-                 .filter(F.col("hrn") == 1)
-                 .select("slot_id",
-                         _puny_col(cfg, F.col("host")).alias("head_puny"),
-                         F.col("port").alias("head_port")))
+        # FUSED phase C (stage-count matters: the previous form —
+        # per-slot head window + dim joins + robots ArrowEvalPython +
+        # a checkpointed `heads` frame + a second scan join — was ~20
+        # of the round's Spark jobs; an iterative driver pays that
+        # span EVERY round at any cluster size). One inner broadcast
+        # join attaches the queued-slot metadata (which also does the
+        # semi filter), two broadcast joins attach the host/robots
+        # dims per ROW, and the single bucketed Arrow pass below
+        # resolves the head (min fifo_pos, newId), computes the DNS
+        # outcome, parses robots (kernels/robots.py, same kernel the
+        # old UDF wrapped) and runs the fifo scan — emitting the
+        # slot-constant head metadata on every row so the slot update
+        # is one aggregation over `resolved`, no `heads` frame at all.
+        qmeta = queued.select(
+            "slot_id", "proc_rank",
+            F.col("forbidden").alias("old_forbidden"), "dns_queue_pos")
         hosts = self.dims["hosts"].select(
-            F.col("host").alias("head_puny"), "dns_ok", "ip")
+            F.col("host").alias("puny"), "dns_ok", "ip")
         robots = self.dims["robots"].select(
-            F.col("host").alias("head_puny"),
+            F.col("host").alias("puny"),
             F.col("status").alias("rob_status"),
             F.col("body").alias("rob_body"),
             F.coalesce(F.col("reachable"), F.lit(True)).alias("rob_reachable"))
-        heads = (heads.join(F.broadcast(hosts), "head_puny", "left")
-                 .join(F.broadcast(robots), "head_puny", "left"))
-        outcome = (F.when(F.col("dns_ok").isNull() | ~F.col("dns_ok"),
-                          slot_logic.ERROR_DNS)
-                   .when(~F.col("rob_reachable"), slot_logic.NOCONN_DNS)
-                   .otherwise(slot_logic.DONE_DNS))
-        heads = heads.withColumn("outcome", outcome)
-        heads = heads.withColumn(
-            "new_ip_hash",
-            F.when(F.col("outcome") == slot_logic.DONE_DNS,
-                   ip_hash_udf("ip", F.lit(cfg.ip_site_list_size)))
-            .otherwise(F.lit(0)))
-        robots_2xx = (F.col("rob_status").isNotNull()
-                      & (F.col("rob_status") >= 200) & (F.col("rob_status") < 300))
-        heads = heads.withColumn(
-            "parsed_forbidden",
-            F.when((F.col("outcome") == slot_logic.DONE_DNS) & robots_2xx,
-                   parse_robots_udf("rob_body", F.lit(cfg.user_agent)))
-            .otherwise(F.lit(None).cast(T.ArrayType(T.StringType()))))
-        heads = heads.withColumn("robots_is_2xx", robots_2xx)
-        heads = _lc(heads.join(
-            queued.select("slot_id", "proc_rank",
-                          F.col("forbidden").alias("old_forbidden"),
-                          "dns_queue_pos"), "slot_id"))
-
-        # new forbidden: parsed on 2xx, otherwise the old list survives
-        # (the reference only recycles inside parseRobots)
-        heads_eff = heads.withColumn(
-            "eff_forbidden",
-            F.when(F.col("robots_is_2xx"), F.col("parsed_forbidden"))
-            .otherwise(F.col("old_forbidden")))
-
-        scan_in = fifo_q.join(
-            F.broadcast(heads_eff.select(
-                "slot_id", "head_puny", "head_port", "outcome",
-                "eff_forbidden", "dns_queue_pos", "new_ip_hash")), "slot_id")
-        scan_in = scan_in.withColumn("puny", _puny_col(cfg, F.col("host")))
+        scan_in = (site_fifo.join(F.broadcast(qmeta), "slot_id")
+                   .withColumn("puny", _puny_col(cfg, F.col("host")))
+                   .join(F.broadcast(hosts), "puny", "left")
+                   .join(F.broadcast(robots), "puny", "left"))
         ignore_robots = cfg.ignore_robots
+        user_agent = cfg.user_agent
+        ip_slot_size = cfg.ip_site_list_size
 
         def phase_c_scan(pdf: pd.DataFrame) -> pd.DataFrame:
             # bucket-level pass (see _apply_per_slot): sort once, walk
-            # per-slot spans; per-slot head metadata is constant within
-            # a span, read from its first row via plain lists
+            # per-slot spans; head metadata comes from the first row
+            # of each span (min fifo_pos = the reference's newId)
+            from ..kernels.hashes import ip_hash
+            from ..kernels.robots import parse_robots
             pdf = (pdf.sort_values(["slot_id", "fifo_pos"])
                    .reset_index(drop=True))
             rows = pdf[["puny", "port", "path"]].to_dict("records")
-            hpuny = pdf["head_puny"].tolist()
-            hport = pdf["head_port"].tolist()
-            houtc = pdf["outcome"].tolist()
-            hforb = pdf["eff_forbidden"].tolist()
+            dns_ok = pdf["dns_ok"].tolist()
+            ips = pdf["ip"].tolist()
+            rstat = pdf["rob_status"].tolist()
+            rbody = pdf["rob_body"].tolist()
+            rreach = pdf["rob_reachable"].tolist()
+            oldforb = pdf["old_forbidden"].tolist()
+
+            def _null(v):
+                return v is None or v != v
             n = len(rows)
             actions = [None] * n
             errs = [None] * n
+            head_puny = [None] * n
+            head_port = [0] * n
+            outc = [None] * n
+            effs = [None] * n
+            iph = [0] * n
             for i, j in _slot_spans(pdf["slot_id"].to_numpy()):
+                hp, hport = rows[i]["puny"], int(rows[i]["port"])
+                if _null(dns_ok[i]) or not dns_ok[i]:
+                    outcome = slot_logic.ERROR_DNS
+                elif not (True if _null(rreach[i]) else rreach[i]):
+                    outcome = slot_logic.NOCONN_DNS
+                else:
+                    outcome = slot_logic.DONE_DNS
+                robots_2xx = (not _null(rstat[i])
+                              and 200 <= int(rstat[i]) < 300)
+                # parsed on 2xx, else the old list survives (the
+                # reference only recycles inside parseRobots)
+                if robots_2xx:
+                    eff = (parse_robots(rbody[i] or "", user_agent)
+                           if outcome == slot_logic.DONE_DNS else None)
+                else:
+                    eff = (None if oldforb[i] is None
+                           else list(oldforb[i]))
+                new_ip = (ip_hash(ips[i], ip_slot_size)
+                          if outcome == slot_logic.DONE_DNS
+                          and not _null(ips[i]) else 0)
                 acts = slot_logic.resolve_fifo(
-                    hpuny[i], int(hport[i]), houtc[i],
-                    hforb[i], ignore_robots, rows[i:j])
+                    hp, hport, outcome, eff, ignore_robots, rows[i:j])
                 actions[i:j] = [a for a, _ in acts]
                 errs[i:j] = [e for _, e in acts]
+                head_puny[i:j] = [hp] * (j - i)
+                head_port[i:j] = [hport] * (j - i)
+                outc[i:j] = [outcome] * (j - i)
+                effs[i:j] = [eff] * (j - i)
+                iph[i:j] = [new_ip] * (j - i)
             pdf["action"] = actions
             pdf["err"] = errs
+            pdf["head_puny"] = head_puny
+            pdf["head_port"] = pd.Series(head_port, dtype="int32")
+            pdf["outcome"] = outc
+            pdf["eff_forbidden"] = effs
+            pdf["new_ip_hash"] = pd.Series(iph, dtype="int32")
             return pdf[[f.name for f in RESOLVED_SCHEMA]]
 
         resolved = _lc(_apply_per_slot(scan_in, phase_c_scan,
@@ -756,20 +786,33 @@ class RoundRunner:
                  .select(F.lit(rnd).alias("round"), "url",
                          F.col("err").alias("error")))
 
-        # fifo: stays survive, everything else leaves
+        # fifo: stays survive, everything else leaves. The slot set of
+        # `resolved` is exactly the queued set restricted to slots with
+        # fifo rows, so anti-joining against the (already bounded,
+        # already broadcast) `queued` slot list removes the same rows
+        # without a distinct-shuffle over resolved.
         stays = resolved.filter(F.col("action") == slot_logic.A_STAY)
         site_fifo_new = (site_fifo
-                         .join(resolved.select("slot_id").distinct(),
+                         .join(F.broadcast(queued.select("slot_id")),
                                "slot_id", "left_anti")
                          .unionByName(stays.select(*SITE_FIFO_SCHEMA.names)))
 
-        # slot updates
+        # slot updates: ONE aggregation over the checkpointed
+        # `resolved` (head metadata is slot-constant, min_by fifo_pos
+        # reads it off the head row) — replaces the old heads-frame
+        # join
         cdelta = resolved.groupBy("slot_id").agg(
             F.sum(F.when(F.col("action") == slot_logic.A_FORGET, -1)
                   .otherwise(0)).cast("int").alias("nb_delta"),
             F.sum(F.when(F.col("action") == slot_logic.A_STAY, 1)
-                  .otherwise(0)).alias("n_stay"))
-        upd = (heads_eff.join(F.broadcast(cdelta), "slot_id", "left")
+                  .otherwise(0)).alias("n_stay"),
+            F.min_by("head_puny", "fifo_pos").alias("head_puny"),
+            F.min_by("head_port", "fifo_pos").alias("head_port"),
+            F.min_by("outcome", "fifo_pos").alias("outcome"),
+            F.min_by("eff_forbidden", "fifo_pos").alias("eff_forbidden"),
+            F.min_by("new_ip_hash", "fifo_pos").alias("new_ip_hash"),
+            F.min_by("proc_rank", "fifo_pos").alias("proc_rank"))
+        upd = (cdelta
                .select(
                    "slot_id",
                    F.col("head_puny").alias("u_name"),

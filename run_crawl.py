@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--ip-site-list-size", type=int, default=None,
                     help="override the ip politeness slot space "
                          "(types.h:36)")
+    ap.add_argument("--snapshot-every", type=int, default=None,
+                    help="durable-commit cadence in rounds (default 1 "
+                         "= every round resumable; the reference "
+                         "persists periodically too — saveInterval)")
     ap.add_argument("--digest", action="store_true",
                     help="also print order-exact digests of the crawl "
                          "ordering, seen set, and emitted docs (for "
@@ -79,6 +83,8 @@ def main() -> None:
         cfg_kw["named_site_list_size"] = args.named_site_list_size
     if args.ip_site_list_size is not None:
         cfg_kw["ip_site_list_size"] = args.ip_site_list_size
+    if args.snapshot_every is not None:
+        cfg_kw["snapshot_every"] = args.snapshot_every
     cfg = CrawlConfig(**cfg_kw)
     store = SnapshotStore(args.snapshot_dir) if args.snapshot_dir else None
     import time

@@ -82,14 +82,13 @@ def _spark_submit_bin() -> str:
                         "bin", "spark-submit")
 
 
-def run_crawl_at(n_exec: int, fixture_dir: str, log_path: str) -> dict:
-    master = f"local-cluster[{n_exec},{CORES_PER_EXEC},{WORKER_MEM_MB}]"
+def run_crawl_at(master: str, fixture_dir: str, log_path: str,
+                 shuffle_parts: int = 8) -> dict:
     cmd = [
         _spark_submit_bin(), "--master", master,
         "--conf", f"spark.executor.memory={WORKER_MEM_MB - 1024}m",
         "--conf", "spark.driver.memory=8g",
-        "--conf", "spark.sql.shuffle.partitions="
-                  f"{max(8, n_exec * CORES_PER_EXEC)}",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--py-files", os.path.join(ROOT, "dist", "larbin_spark.zip"),
         os.path.join(ROOT, "run_crawl.py"),
@@ -113,26 +112,40 @@ def main() -> None:
     log_path = os.path.join(tempfile.gettempdir(), "crawl_scale_bench.log")
 
     n_a, n_b = N_EXECUTORS, N_EXECUTORS * 4
-    best: dict[int, dict] = {}
-    samples: dict[int, list] = {}
+    levels = {
+        n_a: f"local-cluster[{n_a},{CORES_PER_EXEC},{WORKER_MEM_MB}]",
+        n_b: f"local-cluster[{n_b},{CORES_PER_EXEC},{WORKER_MEM_MB}]",
+        # thread sweep for the span (Amdahl-floor) decomposition: the
+        # full crawl at sandbox inputs is round-cadence-dominated, so
+        # wall time should be ~flat across thread counts — publishing
+        # it makes that claim measurable instead of asserted
+        "t2": "local[2]", "t32": "local[32]",
+    }
+    best: dict = {}
+    samples: dict = {}
     # fixed-count interleaved reps, fastest kept (same anti-bias
     # protocol as bench.py / cluster_bench.py: never retry on a bad
     # figure, publish every raw sample)
-    for n_exec in (n_a, n_b) * REPS:
-        r = run_crawl_at(n_exec, fixture_dir, log_path)
-        samples.setdefault(n_exec, []).append(r["wall_sec"])
-        if n_exec not in best or r["wall_sec"] < best[n_exec]["wall_sec"]:
-            best[n_exec] = r
+    for lvl in (n_a, n_b, "t2", "t32") * REPS:
+        r = run_crawl_at(levels[lvl], fixture_dir, log_path)
+        samples.setdefault(str(lvl), []).append(r["wall_sec"])
+        if lvl not in best or r["wall_sec"] < best[lvl]["wall_sec"]:
+            best[lvl] = r
         time.sleep(3)
 
     digkeys = ("ordering_digest", "seen_digest", "docs_digest")
     digests_equal = all(
-        json.dumps(best[n_a][k]) == json.dumps(best[n_b][k])
+        len({json.dumps(best[lvl][k]) for lvl in best}) == 1
         for k in digkeys)
     pages = best[n_a]["pages_ok"]
     urls = best[n_a]["urls_assigned"]
     thr = {n: pages / best[n]["wall_sec"] for n in (n_a, n_b)}
     eff = (thr[n_b] / thr[n_a]) / (n_b / n_a)
+    # span decomposition: wall(n) ~ span + work/n; the 2-vs-32-thread
+    # pair bounds the parallelizable share at this input size
+    w2, w32 = best["t2"]["wall_sec"], best["t32"]["wall_sec"]
+    work_est = max(0.0, (w2 - w32) * 2 * 32 / 30)   # core-seconds
+    span_est = max(0.0, w2 - work_est / 2)
     result = {
         "mode": "FULL crawl pipeline, local-cluster executor JVMs, "
                 "spark-submit --py-files",
@@ -148,6 +161,22 @@ def main() -> None:
         "determinism_across_levels": 1.0 if digests_equal else 0.0,
         "digests": {k: best[n_a][k] for k in digkeys},
         "samples_sec": samples,
+        "amdahl": {
+            "wall_2_threads": w2, "wall_32_threads": w32,
+            "span_sec_est": round(span_est, 1),
+            "parallel_core_sec_est": round(work_est, 1),
+            "span_share_of_round": round(
+                span_est / max(w2, 1e-9), 3),
+            "note": "the iterative round loop has a fixed span of "
+                    "~12 eager actions (~60 AQE jobs) per round that "
+                    "no cluster size removes; at sandbox inputs the "
+                    "span dominates, so executor-scaling efficiency "
+                    "of the FULL crawl is span-bound here — the "
+                    "dataflow stages that carry the per-URL work "
+                    "scale at 0.93 (BENCH/cluster_scaling.json) and "
+                    "dominate at real frontier sizes "
+                    "(docs/SCALE.md §2, §6)",
+        },
     }
     print(json.dumps(result))
     out_json = os.path.join(ROOT, "BENCH", "crawl_scaling.json")
