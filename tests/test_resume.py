@@ -72,3 +72,30 @@ def test_limit_time_stops_crawl(spark, dims, seeds):
     # t_start=0; checks at t=1 (<3, round 0), t=2 (<3, round 1),
     # t=3 (>=3, stop)
     assert st.counters["round"] == 2
+
+
+def test_snapshot_every_same_results(spark, dims, seeds, tmp_path):
+    """snapshot_every K>1 (periodic durable commits, the reference's
+    saveInterval model) changes only WHEN state becomes durable,
+    never what the crawl computes: results match the every-round
+    cadence exactly, the store holds only boundary rounds, and the
+    trailing partial window is committed at exit so the returned
+    state is resumable."""
+    full = collect_results(
+        run_crawl(spark, CrawlConfig(), dims, list(seeds), max_rounds=5))
+
+    store = SnapshotStore(str(tmp_path / "snaps3"))
+    cfg = CrawlConfig(snapshot_every=3)
+    st = run_crawl(spark, cfg, dims, list(seeds), max_rounds=5,
+                   store=store)
+    periodic = collect_results(st)
+
+    assert periodic["ordering"] == full["ordering"]
+    assert periodic["seen"] == full["seen"]
+    assert periodic["errors"] == full["errors"]
+    assert sorted(periodic["fetch_log"]) == sorted(full["fetch_log"])
+    # 5 rounds at cadence 3: boundary commit at 3, trailing commit at 5
+    assert store.latest() == 5
+    st_res = run_crawl(spark, cfg, dims, list(seeds), max_rounds=5,
+                       store=store, resume=True)
+    assert collect_results(st_res)["ordering"] == full["ordering"]
