@@ -31,10 +31,13 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
     reference's timer thread; determinism guarantees apply to the
     rounds that did run.
 
-    Every round commits a durable snapshot (the round's state tables
-    round-trip through parquet — this also resets Catalyst size
-    statistics, see plans/round.py phase F). Resume picks up the
-    latest committed snapshot exactly.
+    Durable snapshots commit every cfg.snapshot_every round
+    boundaries (default 1 = every round; the state tables round-trip
+    through parquet, which also resets Catalyst size statistics, see
+    plans/round.py phase F) plus a trailing commit at exit, so the
+    returned state is always resumable. Resume picks up the latest
+    committed snapshot exactly. Between commits the hot state tables
+    are localCheckpoint-truncated in memory.
     """
     import tempfile
     import time
