@@ -169,10 +169,15 @@ def run_crawl_rounds(spark, n_rounds: int = 3) -> dict:
     # which is session overhead, not per-round cost. (Protocol change
     # in round 3 — r1/r2 figures amortized the cold round into the
     # mean.)
-    run_crawl(spark, CrawlConfig(), dims, seeds, max_rounds=1)
-    t0 = time.time()
-    st = run_crawl(spark, CrawlConfig(), dims, seeds, max_rounds=n_rounds)
-    dt = time.time() - t0
+    from larbin_spark.sources.catalog import SnapshotStore
+    with tempfile.TemporaryDirectory(prefix="bench_snap_") as snapdir:
+        run_crawl(spark, CrawlConfig(), dims, seeds, max_rounds=1,
+                  store=SnapshotStore(os.path.join(snapdir, "warm")))
+        t0 = time.time()
+        st = run_crawl(spark, CrawlConfig(), dims, seeds,
+                       max_rounds=n_rounds,
+                       store=SnapshotStore(os.path.join(snapdir, "run")))
+        dt = time.time() - t0
     return {"crawl_round_sec": round(dt / n_rounds, 3),
             "crawl_pages_ok": st.counters["pages_ok"]}
 
@@ -376,16 +381,22 @@ def main() -> None:
     csj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH", "crawl_scaling.json")
     if os.path.exists(csj):
-        with open(csj) as fp:
-            crawl_scaling = json.load(fp)
-        queries["crawl_full_pages_per_sec_n"] = \
-            crawl_scaling["pages_per_sec_n"]
-        queries["crawl_full_pages_per_sec_4n"] = \
-            crawl_scaling["pages_per_sec_4n"]
-        queries["crawl_full_scaling_efficiency_executors"] = \
-            crawl_scaling["scaling_efficiency_executors"]
-        queries["crawl_full_determinism_across_executors"] = \
-            crawl_scaling["determinism_across_levels"]
+        try:
+            with open(csj) as fp:
+                crawl_scaling = json.load(fp)
+            queries["crawl_full_pages_per_sec_n"] = \
+                crawl_scaling["pages_per_sec_n"]
+            queries["crawl_full_pages_per_sec_4n"] = \
+                crawl_scaling["pages_per_sec_4n"]
+            queries["crawl_full_scaling_efficiency_executors"] = \
+                crawl_scaling["scaling_efficiency_executors"]
+            queries["crawl_full_determinism_across_executors"] = \
+                crawl_scaling["determinism_across_levels"]
+        except (ValueError, KeyError) as e:
+            # a malformed/old-schema artifact must not abort the whole
+            # bench or silently publish partial figures
+            crawl_scaling = {}
+            queries["crawl_full_artifact_error"] = repr(e)
 
     total = round(sum(qtimes.values()) +
                   sum(r["dt"] for r in runs.values()), 3)

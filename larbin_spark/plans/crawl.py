@@ -41,6 +41,17 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
     """
     import tempfile
     import time
+    if cfg.snapshot_every < 1:
+        raise ValueError("snapshot_every must be >= 1")
+    if cfg.snapshot_every > 16:
+        # between commits the state plans live on localCheckpoint;
+        # Catalyst size statistics compound across those layers (see
+        # plans/round.py phase F), so an unbounded cadence degrades
+        # planning long before it saves meaningful I/O — the commits
+        # are already O(delta)
+        raise ValueError("snapshot_every > 16 defeats the statistics "
+                         "reset the parquet round-trip provides; use "
+                         "a small cadence")
     if clock is None:
         clock = time.monotonic
     t_start = clock()

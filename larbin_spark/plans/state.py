@@ -180,11 +180,19 @@ class CrawlState:
         from concurrent.futures import ThreadPoolExecutor
         tables_meta: Dict[str, list] = {}
 
+        # delta commits compose against the LAST COMMITTED snapshot —
+        # with snapshot_every > 1 that is rnd - K, not rnd - 1 (the
+        # accumulated deltas span exactly the rounds since it), and
+        # looking up rnd - 1 would silently fall back to full rewrites
+        # of every append-only table at every periodic commit
+        prev_rnd = store.latest()
+
         def _write(name: str) -> None:
             range_col = self._RANGE_SHARDED.get(name)
-            if name in APPEND_ONLY and rnd > 0 and name in self.deltas:
+            if (name in APPEND_ONLY and name in self.deltas
+                    and prev_rnd is not None and prev_rnd < rnd):
                 try:
-                    prev = store.table_rounds(rnd - 1, name)
+                    prev = store.table_rounds(prev_rnd, name)
                 except FileNotFoundError:
                     prev = None
                 if prev is not None and len(prev) < COMPACT_EVERY:

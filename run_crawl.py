@@ -58,8 +58,16 @@ def main() -> None:
                          "real executors must print identical digests)")
     args = ap.parse_args()
 
+    import os
     from pyspark.sql import SparkSession
-    spark = SparkSession.builder.appName("larbin-spark-crawl").getOrCreate()
+    builder = SparkSession.builder.appName("larbin-spark-crawl")
+    if os.environ.get("SPARK_GRAFT_PROFILE"):
+        # the per-phase job counter reads statusTracker's known-job
+        # list, which is capped by spark.ui.retainedJobs (default
+        # 1000 ~ 16 rounds) — raise it so long profiled runs don't
+        # silently under-count
+        builder = builder.config("spark.ui.retainedJobs", "1000000")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from larbin_spark.config import CrawlConfig

@@ -96,6 +96,11 @@ def test_snapshot_every_same_results(spark, dims, seeds, tmp_path):
     assert sorted(periodic["fetch_log"]) == sorted(full["fetch_log"])
     # 5 rounds at cadence 3: boundary commit at 3, trailing commit at 5
     assert store.latest() == 5
+    # periodic commits must still be DELTA-append: the round-5 chain
+    # composes the bootstrap full write + the two periodic deltas, not
+    # a full rewrite per commit (the O(delta) property of
+    # catalog.py's manifest composition, preserved across K>1)
+    assert store.table_rounds(5, "ordering") == [0, 3, 5]
     st_res = run_crawl(spark, cfg, dims, list(seeds), max_rounds=5,
                        store=store, resume=True)
     assert collect_results(st_res)["ordering"] == full["ordering"]

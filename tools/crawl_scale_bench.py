@@ -52,6 +52,10 @@ CRAWL_ARGS = [
 ]
 
 
+GEN_PARAMS = {"seed": 777, "n_hosts": N_HOSTS, "base_pages": 9,
+              "hot_hosts": 40, "hot_factor": 6, "ip_rewrite": "v1"}
+
+
 def make_fixture() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -59,10 +63,22 @@ def make_fixture() -> str:
     import tempfile
     outdir = os.path.join(tempfile.gettempdir(),
                           f"crawl_scale_web_{N_HOSTS}")
-    if os.path.exists(os.path.join(outdir, "seeds.parquet")):
-        return outdir
-    web = gen_web(seed=777, n_hosts=N_HOSTS, base_pages=9,
-                  hot_hosts=40, hot_factor=6)
+    # the params fingerprint is written LAST, so its presence+match
+    # means a complete fixture built with exactly these parameters —
+    # a bare seeds.parquet existence check would silently reuse a
+    # stale or truncated cache after a parameter change or a killed
+    # run
+    stamp = os.path.join(outdir, "params.json")
+    try:
+        with open(stamp) as fp:
+            if json.load(fp) == GEN_PARAMS:
+                return outdir
+    except (OSError, ValueError):
+        pass
+    web = gen_web(seed=GEN_PARAMS["seed"], n_hosts=N_HOSTS,
+                  base_pages=GEN_PARAMS["base_pages"],
+                  hot_hosts=GEN_PARAMS["hot_hosts"],
+                  hot_factor=GEN_PARAMS["hot_factor"])
     for i, h in enumerate(web["hosts"]):
         if not h["ip"].startswith("10.0.0."):  # keep shared-IP pairs
             h["ip"] = f"10.{1 + i // 65536}.{(i // 256) % 256}.{i % 256}"
@@ -73,6 +89,8 @@ def make_fixture() -> str:
                                   pa.string()),
                   "order": pa.array(range(len(roots)), pa.int32())}),
         os.path.join(outdir, "seeds.parquet"))
+    with open(stamp, "w") as fp:
+        json.dump(GEN_PARAMS, fp)
     return outdir
 
 
@@ -97,7 +115,9 @@ def run_crawl_at(master: str, fixture_dir: str, log_path: str,
     with open(log_path, "ab") as log:
         out = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=log,
                              cwd=ROOT, check=True, text=True)
-    for line in out.stdout.splitlines():
+    # run_crawl.py prints its result LAST — scan from the end so a
+    # stray {-prefixed log line can't be mistaken for the result
+    for line in reversed(out.stdout.splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"no JSON from crawl at {master}; see {log_path}")
@@ -121,13 +141,19 @@ def main() -> None:
         # it makes that claim measurable instead of asserted
         "t2": "local[2]", "t32": "local[32]",
     }
+    # each level gets the shuffle-partition count it would be sized
+    # to in production (pinning all levels to 8 would cap local[32]'s
+    # shuffle stages at 8-way and overstate the span estimate)
+    parts = {n_a: max(8, n_a * CORES_PER_EXEC),
+             n_b: max(8, n_b * CORES_PER_EXEC), "t2": 8, "t32": 32}
     best: dict = {}
     samples: dict = {}
     # fixed-count interleaved reps, fastest kept (same anti-bias
     # protocol as bench.py / cluster_bench.py: never retry on a bad
     # figure, publish every raw sample)
     for lvl in (n_a, n_b, "t2", "t32") * REPS:
-        r = run_crawl_at(levels[lvl], fixture_dir, log_path)
+        r = run_crawl_at(levels[lvl], fixture_dir, log_path,
+                         shuffle_parts=parts[lvl])
         samples.setdefault(str(lvl), []).append(r["wall_sec"])
         if lvl not in best or r["wall_sec"] < best[lvl]["wall_sec"]:
             best[lvl] = r
@@ -146,9 +172,16 @@ def main() -> None:
     w2, w32 = best["t2"]["wall_sec"], best["t32"]["wall_sec"]
     work_est = max(0.0, (w2 - w32) * 2 * 32 / 30)   # core-seconds
     span_est = max(0.0, w2 - work_est / 2)
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:
+        commit = "unknown"
     result = {
         "mode": "FULL crawl pipeline, local-cluster executor JVMs, "
                 "spark-submit --py-files",
+        "generated_at_commit": commit,
         "workload": {"hosts": N_HOSTS, "rounds": ROUNDS,
                      "pages_ok": pages, "urls_assigned": urls,
                      "fixture": os.path.basename(fixture_dir)},
