@@ -196,21 +196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle can audit the binary-column plumbing end to end:
         # octet_length + md5-over-hex of the same BLOBs. Written as a
         # single file via tmp + os.replace (atomic on POSIX): the
-        # oracle can never observe a mid-overwrite torn file. The
-        # fixture is 64 rows; the handoff is test plumbing, not a
-        # data path.
-        import pyarrow.parquet as _pq
-        import pyarrow as _pa
+        # oracle can never observe a mid-overwrite torn file. Built
+        # directly from the deterministic row list with an explicit
+        # pyarrow schema — NOT via toPandas(), which needs the
+        # session's arrow config to round-trip struct columns (the r3
+        # driver regression). The fixture is 64 rows; the handoff is
+        # test plumbing, not a data path.
         from larbin_spark.pipeline import multimodal
-        media = multimodal.make_media_table(spark, 64)
-        _os.makedirs(_os.path.dirname(_MULTIMODAL_MEDIA_PATH),
-                     exist_ok=True)
-        tmp = f"{_MULTIMODAL_MEDIA_PATH}.tmp.{_os.getpid()}"
-        _pq.write_table(_pa.Table.from_pandas(media.toPandas()), tmp)
-        if _os.path.isdir(_MULTIMODAL_MEDIA_PATH):  # pre-r3 dir layout
-            import shutil as _shutil
-            _shutil.rmtree(_MULTIMODAL_MEDIA_PATH)
-        _os.replace(tmp, _MULTIMODAL_MEDIA_PATH)
+        multimodal.write_media_parquet(_MULTIMODAL_MEDIA_PATH, 64)
         media_rt = spark.read.parquet(_MULTIMODAL_MEDIA_PATH)
         return (multimodal.extract_features(media_rt, fake=True)
                 .select("media_id", "kind", "n_bytes", "digest")

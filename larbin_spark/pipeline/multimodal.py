@@ -52,8 +52,9 @@ def decode_image(payload: bytes, fake: bool = False) -> List[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
-def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests/benches."""
+def media_rows(n: int = 64) -> List[tuple]:
+    """Deterministic synthetic media rows (the single source of truth
+    for both the Spark DataFrame and the parquet handoff fixture)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -61,7 +62,74 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
         rows.append((f"m{i:04d}", kind, bytearray(payload),
                      (f"{kind}/x-fake", 64 + i % 128, 64 + (i * 7) % 128,
                       1000 * (i % 30))))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/benches."""
+    return spark.createDataFrame(media_rows(n), MEDIA_SCHEMA)
+
+
+def write_media_parquet(path: str, n: int = 64) -> None:
+    """Write the deterministic media fixture as ONE parquet file built
+    directly from `media_rows` with an explicit pyarrow schema.
+
+    Deliberately does NOT round-trip through Spark/pandas: a
+    `toPandas()` of a struct column yields `Row` objects unless
+    `spark.sql.execution.arrow.pyspark.enabled` is set in the session,
+    and pyarrow inference then dies with ArrowTypeError — the exact
+    round-3 driver regression. Building the table session-config-free
+    makes the handoff independent of the caller's Spark config.
+
+    The write is atomic (tmp + os.replace); the pre-r3 directory
+    layout migration retries once because two concurrent contract
+    runs can race on rmtree/replace — the loser's file is identical,
+    so a second attempt (or an already-migrated path) is benign.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = media_rows(n)
+    schema = pa.schema([
+        pa.field("media_id", pa.string()),
+        pa.field("kind", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("meta", pa.struct([
+            pa.field("mime", pa.string()),
+            pa.field("width", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("duration_ms", pa.int32()),
+        ])),
+    ])
+    table = pa.Table.from_pydict(
+        {
+            "media_id": [r[0] for r in rows],
+            "kind": [r[1] for r in rows],
+            "payload": [bytes(r[2]) for r in rows],
+            "meta": [{"mime": r[3][0], "width": r[3][1],
+                      "height": r[3][2], "duration_ms": r[3][3]}
+                     for r in rows],
+        },
+        schema=schema,
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    for attempt in (0, 1):
+        try:
+            if os.path.isdir(path):  # pre-r3 dir layout
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+            break
+        except OSError:
+            if attempt or os.path.isfile(path):
+                # a concurrent run won the race with an identical file
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                break
 
 
 def extract_features(media: DataFrame, batch_hint: int = 256,

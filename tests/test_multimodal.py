@@ -52,3 +52,58 @@ def test_resize_stub_deterministic(spark):
     c = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
     assert all(r["meta"]["width"] == 32 for r in c.values())
     assert bytes(c["m0000"]["payload"]) != a["m0000"]  # size-dependent
+
+
+def test_media_parquet_handoff_without_arrow_config(tmp_path):
+    """Regression pin for the r3 driver red: the handoff parquet must
+    be buildable and the multimodal_features query green in a Spark
+    session that does NOT set spark.sql.execution.arrow.pyspark.enabled
+    (the driver's session doesn't). Runs in a fresh interpreter — a
+    second SparkContext in this process would hit the dead-accumulator
+    bug — and asserts the Spark result matches a DuckDB read of the
+    same fixture byte-for-byte."""
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    script = textwrap.dedent(f"""
+        import hashlib, sys
+        sys.path.insert(0, {repo!r})
+        import duckdb
+        from pyspark.sql import SparkSession
+        from larbin_spark.pipeline import multimodal
+
+        path = {str(tmp_path / "media.parquet")!r}
+        multimodal.write_media_parquet(path, 64)
+
+        # NO arrow config — mimic the driver's session exactly
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("noarrow-regression")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        df = (multimodal.extract_features(
+                  spark.read.parquet(path), fake=True)
+              .select("media_id", "kind", "n_bytes", "digest")
+              .orderBy("media_id"))
+        got = [(r.media_id, r.kind, r.n_bytes, r.digest)
+               for r in df.collect()]
+        want = duckdb.connect().execute(
+            "SELECT media_id, kind, octet_length(payload)::INT, "
+            "md5(lower(hex(payload))) FROM read_parquet(?) "
+            "ORDER BY media_id", [path]).fetchall()
+        assert got == [tuple(w) for w in want], (got[:3], want[:3])
+        assert len(got) == 64
+        # meta struct survives the explicit-schema write
+        meta = spark.read.parquet(path).select("meta.mime").collect()
+        assert all(m.mime for m in meta)
+        print("OK")
+        spark.stop()
+    """)
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert "OK" in out.stdout
