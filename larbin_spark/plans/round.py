@@ -252,8 +252,11 @@ class RoundRunner:
         st.counters["qseq_next"] += len(rows)
         spark = self.spark
         from .state import SEEN_SCHEMA
-        st.tables["queues"] = st.queues.unionByName(
-            spark.createDataFrame(rows, QUEUE_SCHEMA))
+        qdf = spark.createDataFrame(rows, QUEUE_SCHEMA)
+        st.tables["queues"] = st.queues.unionByName(qdf)
+        st.deltas["queues_add"] = (
+            st.deltas["queues_add"].unionByName(qdf)
+            if "queues_add" in st.deltas else qdf)
         st.tables["seen"] = st.seen.unionByName(
             spark.createDataFrame(seen_new, SEEN_SCHEMA))
         if n_dup_seeds:
@@ -322,8 +325,10 @@ class RoundRunner:
         st.counters["qseq_next"] += len(rows)
         new_tables = dict(st.tables)
         deltas = dict(st.deltas)
-        new_tables["queues"] = st.queues.unionByName(
-            spark.createDataFrame(rows, QUEUE_SCHEMA))
+        qdf = spark.createDataFrame(rows, QUEUE_SCHEMA)
+        new_tables["queues"] = st.queues.unionByName(qdf)
+        deltas["queues_add"] = (deltas["queues_add"].unionByName(qdf)
+                                if "queues_add" in deltas else qdf)
         bitmaps = dict(st.bitmaps)
         if new_buckets:
             bdf = spark.createDataFrame(new_buckets, SEEN_SCHEMA)
@@ -611,7 +616,7 @@ class RoundRunner:
         # ---------- phase E: fetch + parse + link pipeline ----------
         (queues, seen, seen_delta, dup_seen, dup_delta, log_e,
          metrics_e, docs_out_new, n_links_new, n_success,
-         new_bitmaps) = self._phase_e(
+         new_bitmaps, links_enqueued) = self._phase_e(
             st, fetched, rnd, C["qseq_next"] + n_bounce, queues)
         C["qseq_next"] += n_bounce + n_links_new
         C["pages_ok"] += n_success
@@ -649,6 +654,12 @@ class RoundRunner:
 
         _acc("seen", seen_delta)
         _acc("dup_seen", dup_delta)
+        # frontier add/remove deltas for the TOMBSTONED O(delta)
+        # snapshot commit (plans/state.py): adds = bounced re-enqueues
+        # + newly discovered links; removes = every routed take's qseq
+        # (qseq is never reused, so the tombstone anti-join is exact)
+        _acc("queues_add", bounced.unionByName(links_enqueued))
+        _acc("queues_rm", routed.select("qseq"))
         _acc("fetch_log", log_new)
         _acc("ordering", ordering_new)
         _acc("metrics", metrics_e)
@@ -1159,7 +1170,7 @@ class RoundRunner:
 
         return (queues, seen, seen_delta, dup_seen, dup_new,
                 log_e_pages, metrics_e, docs_out_new, n_links_new,
-                n_success, new_bitmaps)
+                n_success, new_bitmaps, new_rows)
 
     @property
     def _slots_for_fastfail(self) -> DataFrame:

@@ -115,10 +115,26 @@ TABLES = ("queues", "site_fifo", "ip_queue", "slots", "buckets",
 # grow-only tables: per-round snapshots append ONLY the round's delta
 # files (Iceberg-style), never rewrite history — a full rewrite of
 # e.g. docs_out every round would cost O(total) per round, O(R^2)
-# cumulative over a crawl. Mutable tables (queues/slots/...) are
-# rewritten in full; they are bounded by the in-flight budget.
+# cumulative over a crawl.
 APPEND_ONLY = ("seen", "dup_seen", "fetch_log", "ordering", "metrics",
                "docs_out")
+# add/remove tables: `queues` IS the frontier — the one table that is
+# both huge (10^10 rows at the north-rule scale, ~1.2 TB in SCALE.md
+# §1's sizing) and mutated every round. A full rewrite per commit is
+# O(frontier); the reference's PersistentFifo is O(delta) via file
+# rotation + delete-on-consume (persistent_fifo.cxx:186-216). Here a
+# delta commit writes (a) the rows appended since the last commit and
+# (b) a tombstone file of the removed qseq values — removals are the
+# phase-B takes, bounded by the per-round seq budget, so both parts
+# are O(delta). Reconstruction = union(chain appends) ∖
+# union(chain tombstones); qseq is globally unique and never reused,
+# which makes the tombstone anti-join exact even when a row appended
+# in one delta is removed by a later one. Compaction at COMPACT_EVERY
+# bounds the chain exactly like the grow-only tables. The remaining
+# mutable tables (slots/site_fifo/ip_queue/buckets) ARE bounded by
+# the in-flight budget / slot-space size and stay full rewrites.
+TOMBSTONED = ("queues",)
+QUEUE_RM_SCHEMA = T.StructType([T.StructField("qseq", T.LongType())])
 # compact (full rewrite) when a table's file-composition list reaches
 # this length: bounds read fan-in and lets prune drop old round dirs
 COMPACT_EVERY = 16
@@ -137,9 +153,12 @@ _SCHEMAS = {
 class CrawlState:
     tables: Dict[str, DataFrame]
     counters: Dict[str, int] = field(default_factory=dict)
-    # this state's not-yet-persisted appended rows per APPEND_ONLY
-    # table (relative to the snapshot the state was loaded from);
-    # consumed by save(), reset by load()
+    # this state's not-yet-persisted delta rows, relative to the
+    # snapshot the state was loaded from: appended rows per
+    # APPEND_ONLY table, plus `queues_add` (appended frontier rows)
+    # and `queues_rm` (removed qseq tombstones) for the TOMBSTONED
+    # frontier. Consumed by save(), reset by load(). BOTH queues_*
+    # keys must be present for a delta commit (else full write).
     deltas: Dict[str, DataFrame] = field(default_factory=dict)
     # in-memory membership bitmap cache for the opt-in
     # seen_bitmap_broadcast path (operators/membership.py): the packed
@@ -171,8 +190,13 @@ class CrawlState:
         return cls(tables, counters)
 
     # membership tables are bucket-range sharded + sorted (SCALE.md §3:
-    # pruned probes, sorted shard merges); everything else coalesces
-    _RANGE_SHARDED = {"seen": "bucket", "dup_seen": "bucket"}
+    # pruned probes, sorted shard merges); the frontier is sharded by
+    # (queue, qseq) so the phase-B eligible filter's class + valve
+    # watermark predicates prune to each class's head shards on
+    # parquet min/max stats; everything else coalesces
+    _RANGE_SHARDED = {"seen": "bucket", "dup_seen": "bucket",
+                      "queues": ["queue", "qseq"],
+                      "queues__rm": "qseq"}
 
     def save(self, store: SnapshotStore, rnd: int) -> None:
         # concurrent writes: the tables are independent jobs and tiny
@@ -200,7 +224,30 @@ class CrawlState:
                                       range_col=range_col)
                     tables_meta[name] = prev + [rnd]
                     return
+            if (name in TOMBSTONED and f"{name}_add" in self.deltas
+                    and f"{name}_rm" in self.deltas
+                    and prev_rnd is not None and prev_rnd < rnd):
+                # add/remove delta commit: O(delta) appends + O(delta)
+                # removed-key tombstones instead of an O(frontier)
+                # rewrite (see TOMBSTONED above)
+                try:
+                    prev = store.table_rounds(prev_rnd, name)
+                except FileNotFoundError:
+                    prev = None
+                if prev is not None and len(prev) < COMPACT_EVERY:
+                    store.write_delta(rnd, name, self.deltas[f"{name}_add"],
+                                      range_col=range_col)
+                    store.write_delta(
+                        rnd, f"{name}__rm", self.deltas[f"{name}_rm"],
+                        range_col=self._RANGE_SHARDED.get(f"{name}__rm"))
+                    tables_meta[name] = prev + [rnd]
+                    tables_meta[f"{name}__rm"] = store.table_rounds(
+                        prev_rnd, f"{name}__rm", default=[]) + [rnd]
+                    return
             # mutable table, bootstrap, or compaction due: full write
+            # (for TOMBSTONED this is the compaction: self.tables[name]
+            # already composes appends ∖ tombstones, and resetting
+            # tables_meta drops the chain so prune can expire it)
             store.write_table(rnd, name, self.tables[name],
                               range_col=range_col)
             tables_meta[name] = [rnd]
@@ -217,6 +264,17 @@ class CrawlState:
     @classmethod
     def load(cls, spark: SparkSession, store: SnapshotStore,
              rnd: int) -> "CrawlState":
+        from pyspark.sql import functions as F
         tables = {name: store.read_table(spark, rnd, name, _SCHEMAS[name])
                   for name in TABLES}
+        for name in TOMBSTONED:
+            # compose the add/remove chain: appended files minus the
+            # removed-key tombstones (O(delta · chain_len) rows, chain
+            # bounded by COMPACT_EVERY). The anti-join's probe side is
+            # tiny relative to the frontier; AQE picks the strategy.
+            rm_rounds = store.table_rounds(rnd, f"{name}__rm", default=[])
+            if rm_rounds:
+                rm = store.read_rounds(spark, rm_rounds, f"{name}__rm",
+                                       QUEUE_RM_SCHEMA)
+                tables[name] = tables[name].join(rm, "qseq", "left_anti")
         return cls(tables, dict(store.manifest(rnd)["counters"]))

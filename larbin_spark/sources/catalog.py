@@ -47,27 +47,30 @@ class SnapshotStore:
         return os.path.join(self.root, f"round={rnd:06d}")
 
     def write_table(self, rnd: int, name: str, df: DataFrame,
-                    parts: int = 4, range_col: Optional[str] = None) -> None:
+                    parts: int = 4, range_col=None) -> None:
         """Full rewrite of a (mutable) table into this snapshot.
 
-        range_col: shard the table by range of that column and sort
-        each file by it (docs/SCALE.md §3): files carry tight parquet
-        min/max stats on the key, so membership probes prune to one
-        shard and shard merges are sorted merges. This is the seam
-        Iceberg `bucket(col, N)` partitioning fills on a real
-        cluster; `parts` is sized per table (thousands for the
-        10^10-row seen set, a handful at fixture scale)."""
+        range_col: shard the table by range of that column (or list
+        of columns) and sort each file by it (docs/SCALE.md §3):
+        files carry tight parquet min/max stats on the key(s), so
+        membership probes and the frontier's head/watermark filters
+        prune to the relevant shards and shard merges are sorted
+        merges. This is the seam Iceberg `bucket(col, N)` /
+        sort-order partitioning fills on a real cluster; `parts` is
+        sized per table (thousands for the 10^10-row seen set and
+        frontier, a handful at fixture scale)."""
         path = os.path.join(self._snap_dir(rnd), name)
         if range_col is not None:
-            out = (df.repartitionByRange(parts, range_col)
-                   .sortWithinPartitions(range_col))
+            cols = ([range_col] if isinstance(range_col, str)
+                    else list(range_col))
+            out = (df.repartitionByRange(parts, *cols)
+                   .sortWithinPartitions(*cols))
         else:
             out = df.coalesce(parts)
         out.write.mode("overwrite").parquet(path)
 
     def write_delta(self, rnd: int, name: str, delta: DataFrame,
-                    parts: int = 4,
-                    range_col: Optional[str] = None) -> None:
+                    parts: int = 4, range_col=None) -> None:
         """Append commit for a grow-only table: write ONLY this
         round's delta rows; the snapshot's manifest lists the ancestor
         rounds whose files compose the full table (Iceberg's
@@ -76,11 +79,16 @@ class SnapshotStore:
         i.e. O(R^2) cumulative over a crawl."""
         self.write_table(rnd, name, delta, parts, range_col)
 
-    def table_rounds(self, rnd: int, name: str) -> list:
+    def table_rounds(self, rnd: int, name: str,
+                     default: Optional[list] = None) -> list:
         """The rounds whose `name` files compose the table as of
-        snapshot rnd (from the manifest; [rnd] for full writes)."""
+        snapshot rnd (from the manifest; [rnd] for full writes
+        unless a different default is given — tombstone side-tables
+        default to [] because a compacted snapshot has none)."""
         m = self.manifest(rnd)
-        return list(m.get("tables", {}).get(name, [rnd]))
+        if default is None:
+            default = [rnd]
+        return list(m.get("tables", {}).get(name, default))
 
     def read_table(self, spark: SparkSession, rnd: int, name: str,
                    schema=None) -> DataFrame:
@@ -88,6 +96,12 @@ class SnapshotStore:
             rounds = self.table_rounds(rnd, name)
         except FileNotFoundError:
             rounds = [rnd]
+        return self.read_rounds(spark, rounds, name, schema)
+
+    def read_rounds(self, spark: SparkSession, rounds: list, name: str,
+                    schema=None) -> DataFrame:
+        """Read the union of a table's data dirs across the given
+        snapshot rounds (a manifest composition chain)."""
         paths = [os.path.join(self._snap_dir(r), name) for r in rounds]
         # a referenced chain ancestor that is GONE is data loss, not
         # something to silently skip (even an empty delta writes a
@@ -95,8 +109,8 @@ class SnapshotStore:
         missing = [p for p in paths if not os.path.isdir(p)]
         if missing and len(paths) > 1:
             raise FileNotFoundError(
-                f"snapshot chain for table {name!r} at round {rnd} is "
-                f"missing referenced data dirs: {missing}")
+                f"snapshot chain for table {name!r} over rounds "
+                f"{rounds} is missing referenced data dirs: {missing}")
         if schema is not None:
             # explicit schema: an empty table writes no part files
             return spark.read.schema(schema).parquet(*paths)

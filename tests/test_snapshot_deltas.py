@@ -133,3 +133,39 @@ def test_prune_skips_uncommitted_trailing_dir(spark, tmp_path):
     os.makedirs(store._snap_dir(3))  # torn write: data dir, no commit
     store.prune(keep_last=1)
     assert os.path.isdir(store._snap_dir(2))
+
+
+def test_queues_delta_commits(spark, dims, seeds, tmp_path):
+    """The frontier (`queues`) is the one huge mutable table; its
+    snapshot commits must be O(delta) — appended rows + removed-qseq
+    tombstones, both bounded by the per-round budgets — never a full
+    O(frontier) rewrite (reference: persistent_fifo.cxx:186-216
+    delete-on-consume rotation)."""
+    from larbin_spark.plans.state import _SCHEMAS
+    cfg = CrawlConfig()
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    st = run_crawl(spark, cfg, dims, list(seeds),
+                   max_rounds=ROUNDS, store=store, keep_snapshots=10 ** 9)
+    rounds = store.table_rounds(ROUNDS, "queues")
+    assert len(rounds) > 1, "frontier snapshot should be delta-composed"
+    rm_rounds = store.table_rounds(ROUNDS, "queues__rm", default=[])
+    assert rm_rounds, "delta commits must carry tombstone files"
+    full = st.tables["queues"].count()
+    # last commit's data dir = ONLY that round's appends, not the
+    # frontier; tombstones = that round's takes, bounded by the
+    # sequencer budget — i.e. write volume is independent of frontier
+    # size
+    last_add = _dir_rows(store, ROUNDS, "queues")
+    last_rm = _dir_rows(store, ROUNDS, "queues__rm")
+    assert last_add < full
+    assert 0 < last_rm <= cfg.seq_per_round
+    # reconstruction (appends ∖ tombstones) is exact
+    back = CrawlState.load(spark, store, ROUNDS).tables["queues"]
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, st.tables["queues"].collect()))
+    # appended-then-consumed rows must NOT resurrect: every tombstoned
+    # qseq is absent from the reconstruction
+    rm = spark.read.schema("qseq long").parquet(
+        *[os.path.join(store._snap_dir(r), "queues__rm")
+          for r in rm_rounds])
+    assert back.join(rm, "qseq", "left_semi").count() == 0
