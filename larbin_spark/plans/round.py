@@ -411,6 +411,13 @@ class RoundRunner:
                 .withColumn("slot_id", site_hash_udf(
                     "host", F.lit(cfg.named_site_list_size)))
                 .withColumn("puny", _puny_col(cfg, F.col("host"))))
+        # capture the pre-checkpoint take for the plan audit (the
+        # frontier-scan shape — TakeOrdered + the single take_rank
+        # window — lives here), then materialize: the take feeds BOTH
+        # the slot-reduction semi-join and the routing join below, and
+        # without the checkpoint the TakeOrdered would scan the
+        # frontier twice per round
+        take = _lc(self._cap("B_take", take))
 
         slots_pref = st.slots.select(
             "slot_id", F.col("name").alias("s_name"),
@@ -420,6 +427,15 @@ class RoundRunner:
             F.col("nburls").alias("s_nburls"),
             F.col("dns_expire_round").alias("s_dns_expire_round"),
             F.col("ip_hash").alias("s_ip_hash"))
+        # SCALE: the slot space is config-widened to ~10^8 rows
+        # (~10 GB) at the north-rule frontier (SCALE.md §1), so the
+        # FULL slot table must never be broadcast. The take is bounded
+        # by the sequencer budget: semi-join slots down to the take's
+        # distinct slot_ids first (broadcasting the take side, which
+        # IS small), then broadcast only the reduced slot rows.
+        take_ids = take.select("slot_id").distinct()
+        slots_pref = slots_pref.join(F.broadcast(take_ids), "slot_id",
+                                     "left_semi")
         take = take.join(F.broadcast(slots_pref), "slot_id", "left")
 
         def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1072,7 +1088,16 @@ class RoundRunner:
             "l_slot_id",
             site_hash_udf("l_host", F.lit(cfg.named_site_list_size)))
         slots_now = self._slots_for_fastfail
-        links = links.join(F.broadcast(slots_now), "l_slot_id", "left")
+        # SCALE: never FORCE-broadcast the slot table onto the link
+        # stream — at the widened ~10^8-slot space that is a ~10 GB
+        # exchange per round. Unhinted, the planner broadcasts only
+        # when the actual (checkpointed) slot table is small; at a
+        # config-widened slot space we hint shuffle-hash so the
+        # unbounded link side is hash-joined on l_slot_id, never
+        # sorted and never the build for a forced broadcast.
+        if cfg.named_site_list_size > (1 << 22):
+            slots_now = slots_now.hint("shuffle_hash")
+        links = links.join(slots_now, "l_slot_id", "left")
         ff = ((F.col("ff_name") == F.col("l_host"))
               & (F.col("ff_port") == F.col("l_port")))
         links = links.withColumn(

@@ -117,6 +117,65 @@ def _tree_nodes(plan: str, name: str):
     return re.findall(rf"{name}[^\n(]*\(\d+\)", plan)
 
 
+def _subtree_of(plan: str, node_id: str) -> str:
+    """The formatted-explain TREE subtree rooted at the node with the
+    given id: its line plus every following line with a strictly
+    longer drawing prefix (':- ', '+- ', indent, codegen '*')."""
+    lines = plan.split("\n")
+    def _depth(l: str) -> int:
+        return len(re.match(r"^[\s:+\-|*]*", l).group(0))
+    for i, l in enumerate(lines):
+        if re.search(rf"\({node_id}\)\s*$", l):
+            d = _depth(l)
+            sub = [l]
+            for l2 in lines[i + 1:]:
+                if not l2.strip() or _depth(l2) <= d:
+                    break
+                sub.append(l2)
+            return "\n".join(sub)
+    return ""
+
+
+_SLOT_COL_MARKERS = ("dns_state", "ff_state", "ff_forbidden", "nburls")
+
+
+def _slot_broadcasts_reduced(plan: str) -> bool:
+    """No BroadcastExchange may carry FULL-slot-table columns: the
+    slot space is config-widened to ~10^8 rows at the north-rule
+    scale, so slot columns may enter a broadcast ONLY below a LeftSemi
+    reduction by the budget-bounded take (VERDICT r3 #3). The
+    integration audit runs with autoBroadcastJoinThreshold=-1, so any
+    BroadcastExchange seen here is an explicit hint."""
+    for m in re.finditer(r"\((\d+)\) BroadcastExchange[^\n]*\n"
+                         r"Input \[\d+\]: \[([^\]]*)\]", plan):
+        node_id, cols = m.group(1), m.group(2)
+        if any(mk in cols for mk in _SLOT_COL_MARKERS):
+            if "LeftSemi" not in _subtree_of(plan, node_id):
+                return False
+    return True
+
+
+def _has_reduced_slot_broadcast(plan: str) -> bool:
+    """True iff some BroadcastExchange carries slot columns AND sits
+    above a LeftSemi reduction — the positive shape phase B must
+    have (reduced slot rows broadcast onto the take)."""
+    for m in re.finditer(r"\((\d+)\) BroadcastExchange[^\n]*\n"
+                         r"Input \[\d+\]: \[([^\]]*)\]", plan):
+        if (any(mk in m.group(2) for mk in _SLOT_COL_MARKERS)
+                and "LeftSemi" in _subtree_of(plan, m.group(1))):
+            return True
+    return False
+
+
+def _no_slot_broadcast(plan: str) -> bool:
+    """Stricter form for the link fast-fail gate: slot columns must
+    not appear in ANY BroadcastExchange (the join is left unhinted so
+    the planner broadcasts only on real size; with the audit's
+    threshold=-1 a hit here means a forced broadcast regressed)."""
+    return all(not any(mk in b for mk in _SLOT_COL_MARKERS)
+               for b in _broadcast_inputs(plan))
+
+
 # Integration audit: the per-query checks above can't see plans that
 # only exist INSIDE run_round. RoundRunner.plan_probe captures the
 # pre-checkpoint lazy frames of the round's four heavy stages; with
@@ -124,7 +183,7 @@ def _tree_nodes(plan: str, name: str):
 # plan comes from an explicit hint, so "no growing-table broadcast"
 # is mechanically checkable.
 CRAWL_CHECKS = {
-    "B_routed": [
+    "B_take": [
         ("no Window over the frontier: the only Window (take_rank) "
          "consumes the budget-limited global take, not st.queues "
          "(valve = qseq watermark filter, VERDICT r2 #2)",
@@ -137,10 +196,21 @@ CRAWL_CHECKS = {
                    else "GlobalLimit (")),
         ("no WindowGroupLimit/rank scan of the full queue table",
          lambda p: "WindowGroupLimit" not in p),
+    ],
+    "B_routed": [
         ("slot routing is Arrow (FlatMapGroupsInPandas), no "
          "row-at-a-time Python",
          lambda p: len(_tree_nodes(p, "FlatMapGroupsInPandas")) >= 1
          and "BatchEvalPython" not in p),
+        ("no second frontier scan: the take is checkpointed before "
+         "fan-out (B_take carries the TakeOrdered), so this plan has "
+         "no Window and no TakeOrdered of its own",
+         lambda p: len(_tree_nodes(p, "Window")) == 0
+         and not _tree_nodes(p, "TakeOrderedAndProject")),
+        ("slot columns broadcast ONLY below the take-side LeftSemi "
+         "reduction — never the full slot table (VERDICT r3 #3)",
+         lambda p: _slot_broadcasts_reduced(p)
+         and _has_reduced_slot_broadcast(p)),
     ],
     "D_sched": [
         ("politeness windows partition by ip_hash (bounded k per "
@@ -169,6 +239,11 @@ CRAWL_CHECKS = {
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
     "E_survivors": [
+        ("fast-fail slot gate never force-broadcast: with the "
+         "audit's threshold=-1, ff_/slot columns in any "
+         "BroadcastExchange mean an explicit broadcast hint "
+         "regressed (VERDICT r3 #3)",
+         lambda p: _no_slot_broadcast(p)),
         ("URL-seen probed by shuffle join, never broadcast (the seen "
          "table grows without bound)",
          lambda p: all("seen_hit" not in b and "bucket" not in b
