@@ -385,8 +385,14 @@ class RoundRunner:
             C["valve_w_qseq"] = 0
 
         # ---------- phase B: sequencer ----------
-        ram_used = st.slots.agg(
-            F.coalesce(F.sum("nburls"), F.lit(0))).collect()[0][0]
+        # in-flight budget from the incrementally-maintained counters:
+        # sum(slots.nburls) == n_site_fifo + n_ip_queue by construction
+        # (nburls +1 on A_FIFO/A_TRANSFER in B, -1 on A_FORGET in C and
+        # per fetch in D — exactly the moves the two counters mirror;
+        # tests/test_crawl_parity.py cross-validates the invariant
+        # against the table), which replaces a per-round aggregation
+        # job over the slot table with driver arithmetic
+        ram_used = C["n_site_fifo"] + C["n_ip_queue"]
         still = min(cfg.seq_per_round, max(0, cfg.ram_urls - int(ram_used)))
 
         # pure filter (map-side, prunable) — no Window over st.queues;
@@ -565,8 +571,16 @@ class RoundRunner:
         C["transfer_seq_next"] += n_transfer_c
         C["n_site_fifo"] -= (n_transfer_c + n_forget_c)
         C["n_ip_queue"] += n_transfer_c
-        slots = _lc(slots)
-        site_fifo = _lc(site_fifo)
+        # the two phase-C outputs are independent plans over the
+        # already-checkpointed `resolved`: materialize them
+        # concurrently instead of serially on the driver (each _lc is
+        # an eager action; the round span is the sum of serial
+        # actions, VERDICT r3 next-round #5)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            _f_slots = _ex.submit(_lc, slots)
+            _f_fifo = _ex.submit(_lc, site_fifo)
+            slots, site_fifo = _f_slots.result(), _f_fifo.result()
         # link-time fast-fail (initOK) consults slot state as of end of
         # phase C (docs/ROUND_MODEL.md)
         self.set_fastfail_slots(slots)

@@ -114,3 +114,15 @@ def test_timeout_taxonomy_nonvacuous(oracle_result):
     parity horizon, so the taxonomy comparison above isn't vacuous."""
     errs = {e for _, _, e in oracle_result["fetch_log"]}
     assert "timeout" in errs
+
+
+def test_inflight_counter_matches_slot_table(spark_result):
+    """The sequencer's RAM-budget input (`ram_used`) is derived from
+    the incrementally-maintained n_site_fifo + n_ip_queue counters
+    instead of a per-round sum(nburls) aggregation job — this pins the
+    invariant the substitution relies on."""
+    _res, st = spark_result
+    nburls = st.slots.agg(
+        F.coalesce(F.sum("nburls"), F.lit(0))).collect()[0][0]
+    assert int(nburls) == (st.counters["n_site_fifo"]
+                           + st.counters["n_ip_queue"])
