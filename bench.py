@@ -505,8 +505,18 @@ family over a Mersenne prime — bit-exact on both engines);
 family — the scale path when no cross-engine oracle applies.
 
 """)
+        # unit per row: seconds for timings; a handful of keys are
+        # counts/ratios, not durations
+        unitless = ("crawl_pages_ok", "scaling_efficiency",
+                    "parallelism_determinism",
+                    "cluster_scaling_efficiency_executors",
+                    "cluster_determinism_vs_threads")
         for k, v in qtimes.items():
-            fp.write(f"- {k}: {v}s\n")
+            if k in unitless or "urls_per_sec" in k or "pages_per_sec" in k \
+                    or "efficiency" in k or "determinism" in k:
+                fp.write(f"- {k}: {v}\n")
+            else:
+                fp.write(f"- {k}: {v}s\n")
 
 
 if __name__ == "__main__":

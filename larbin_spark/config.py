@@ -86,6 +86,26 @@ class CrawlConfig:
     # semantics (bit set <-> bucket in seen); parity tests run both.
     seen_bitmap_broadcast: bool = False
 
+    # widest bucket space the broadcast-bitmap probe is allowed to
+    # carry: 2^33 buckets = 1 GiB of packed bits per executor — the
+    # practical broadcast ceiling. Beyond it (SCALE.md §1 sizes the
+    # 10^10 frontier at hash_size 2^40 = 128 GiB) the bitmap cannot
+    # ride a broadcast; the exact range-sharded seen-table anti-join
+    # is the path (a shard-per-executor bitmap would be the
+    # engine-level alternative, not implemented here).
+    MAX_BITMAP_BROADCAST_BUCKETS = 1 << 33
+
+    def __post_init__(self) -> None:
+        if self.seen_bitmap_broadcast and (
+                max(self.hash_size, self.dup_size)
+                > self.MAX_BITMAP_BROADCAST_BUCKETS):
+            raise ValueError(
+                "seen_bitmap_broadcast=True needs hash_size/dup_size "
+                f"<= 2^33 buckets (1 GiB of bits); got "
+                f"hash_size={self.hash_size}, dup_size={self.dup_size}. "
+                "Use the range-sharded seen-table join at scale-out "
+                "bucket spaces (operators/membership.py docstring).")
+
     def to_dict(self) -> dict:
         return asdict(self)
 

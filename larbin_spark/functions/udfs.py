@@ -70,6 +70,8 @@ def url_bucket_udf(host: pd.Series, port: pd.Series, path: pd.Series,
     """url::hashCode bucket (the seen-set key, O-6) — numpy fast path
     (kernels/vectorized.py), parity-pinned to the scalar kernel."""
     from ..kernels.vectorized import url_hash_np
+    if not len(host):  # Arrow may hand a zero-row batch
+        return pd.Series([], dtype="int64")
     return pd.Series(url_hash_np(host, port, path, int(hash_size.iloc[0])),
                      dtype="int64")
 
@@ -81,6 +83,8 @@ def site_hash_udf(host: pd.Series, size: pd.Series) -> pd.Series:
     reaches the hash — the oracle simulator honors it, so a hardcoded
     kernel default would silently diverge on a widened slot space."""
     from ..kernels.vectorized import site_hash_np
+    if not len(host):  # Arrow may hand a zero-row batch
+        return pd.Series([], dtype="int32")
     return pd.Series(site_hash_np(host, int(size.iloc[0])), dtype="int32")
 
 
@@ -88,6 +92,8 @@ def site_hash_udf(host: pd.Series, size: pd.Series) -> pd.Series:
 def ip_hash_udf(ip: pd.Series, size: pd.Series) -> pd.Series:
     """ipHashCode % size (cfg.ip_site_list_size, types.h:36); see
     site_hash_udf on why size is explicit."""
+    if not len(ip):  # Arrow may hand a zero-row batch
+        return pd.Series([], dtype="int32")
     sz = int(size.iloc[0])
     return pd.Series([ip_hash(x, sz) if x is not None else 0 for x in ip],
                      dtype="int32")

@@ -137,6 +137,11 @@ def ring_histogram(events: DataFrame,
     ).alias("sec")
     secs = events.select(sec)
     mx = secs.agg(F.max("sec").alias("msec"))
+    # bucketing divides with Spark `div`, which truncates toward
+    # zero — the SAME semantics as DuckDB's integer `//` (verified:
+    # -7 // 2 = -3 there, not floor's -4) and as the C integer
+    # division the reference's rings use (histogram.cxx), so the two
+    # engines agree even for pre-1970 (negative epoch) timestamps
     binned = secs.select(F.explode(F.array(*[
         F.struct(F.lit(r).alias("res"),
                  F.expr(f"sec div {r}").alias("bucket"))

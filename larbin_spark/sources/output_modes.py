@@ -78,20 +78,29 @@ def save_layout(docs_out: DataFrame,
 
 
 def mirror_layout(docs_out: DataFrame,
-                  n_dirs: int = N_MIRROR_DIRS) -> DataFrame:
+                  n_dirs: int = N_MIRROR_DIRS,
+                  site_list_size: int = None) -> DataFrame:
     """Mode-2 layout: dir = d{siteHashCode(host) % nbDir:05d}, file =
     host[:port]/path with trailing-slash paths saved as index.html
-    (mirror_user_output.cxx:46-90)."""
+    (mirror_user_output.cxx:46-90).
+
+    site_list_size defaults to the reference's compiled constant
+    (types.h:35 — mirror_user_output.cxx hashes with the same
+    namedSiteListSize the crawl uses); pass the crawl's configured
+    value when the slot space is config-widened so the mirror dirs
+    and the crawl hash the same slot space."""
     from ..functions.udfs import site_hash_udf
     d = _hostport_path(docs_out)
     rel = F.concat(F.col("_hostport"), F.col("_path"))
     rel = F.when(rel.endswith("/"), F.concat(rel, F.lit(INDEX_FILE))) \
         .otherwise(rel)
-    from ..kernels.hashes import NAMED_SITE_LIST_SIZE
+    if site_list_size is None:
+        from ..kernels.hashes import NAMED_SITE_LIST_SIZE
+        site_list_size = NAMED_SITE_LIST_SIZE
     return (d.withColumn(
         "dir", F.format_string(
             "d%05d", (site_hash_udf("_host",
-                                    F.lit(NAMED_SITE_LIST_SIZE))
+                                    F.lit(site_list_size))
                       % n_dirs).cast("int")))
         .withColumn("rel_path", rel)
         .drop("_hostport", "_host", "_path"))

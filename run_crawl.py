@@ -39,6 +39,12 @@ def main() -> None:
                          "reference's 100/s-tick-derived default)")
     ap.add_argument("--fetch-per-ip-per-round", type=int, default=None,
                     help="override CrawlConfig.fetch_per_ip_per_round")
+    ap.add_argument("--ram-urls", type=int, default=None,
+                    help="override CrawlConfig.ram_urls (the global "
+                         "in-flight budget, types.h:39; widened for "
+                         "data-dominated benches so the sequencer "
+                         "intake isn't throttled by the reference's "
+                         "RAM constant)")
     ap.add_argument("--named-site-list-size", type=int, default=None,
                     help="override the site slot space (the reference "
                          "compiles 20k, types.h:35; config-widened at "
@@ -87,6 +93,8 @@ def main() -> None:
         cfg_kw["seq_per_round"] = args.seq_per_round
     if args.fetch_per_ip_per_round is not None:
         cfg_kw["fetch_per_ip_per_round"] = args.fetch_per_ip_per_round
+    if args.ram_urls is not None:
+        cfg_kw["ram_urls"] = args.ram_urls
     if args.named_site_list_size is not None:
         cfg_kw["named_site_list_size"] = args.named_site_list_size
     if args.ip_site_list_size is not None:

@@ -207,3 +207,34 @@ def test_minhash_xxhash64_variant(spark):
                  minhash_lsh_candidates(df, 16, 4, 3, hash_fn=fn).collect()}
         assert ("a1", "a2") in pairs, fn
         assert all(a < b for a, b in pairs), fn
+
+
+def test_ring_histogram_negative_epoch_cross_engine(spark, tmp_path):
+    """Pin the division semantics: Spark `div` and DuckDB's integer
+    `//` BOTH truncate toward zero (like the C integer division in
+    the reference's histogram.cxx rings), so ring bucketing agrees
+    across engines even for pre-1970 (negative epoch) timestamps."""
+    import duckdb
+
+    from larbin_spark.pipeline.relational import ring_histogram
+
+    ts = [dt.datetime(1969, 12, 31, 23, 59, s) for s in (1, 3, 58)] \
+        + [dt.datetime(1970, 1, 1, 0, 0, s) for s in (2, 5)]
+    df = spark.createDataFrame([(t,) for t in ts], "ts timestamp_ntz")
+    p = str(tmp_path / "neg_events.parquet")
+    df.write.parquet(p)
+    got = [(r.res, r.bucket, r.n)
+           for r in ring_histogram(df, capacity=8).collect()]
+    want = duckdb.connect().execute(f"""
+WITH sec AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             FROM read_parquet('{p}/*.parquet')),
+mx AS (SELECT max(sec) AS msec FROM sec),
+binned AS (SELECT r.res, sec.sec // r.res AS bucket
+           FROM sec, (VALUES (1), (60), (3600)) AS r(res))
+SELECT b.res, b.bucket, count(*) AS n
+FROM binned b, mx
+WHERE b.bucket > mx.msec // b.res - 8
+GROUP BY b.res, b.bucket ORDER BY res, bucket""").fetchall()
+    assert got == [tuple(w) for w in want]
+    # the pre-1970 seconds really are negative and really bucketed
+    assert any(b < 0 for _res, b, _n in got)
