@@ -253,13 +253,38 @@ def _crawl_scaling_md(cs: dict) -> str:
         f"{'IDENTICAL' if cs['determinism_across_levels'] == 1.0 else 'DIFFERING'} "
         f"across every level run\n"
         f"- raw samples (sec): {cs['samples_sec']!r}"
-        + ("" if "amdahl" not in cs else
+        + _ladder_md(cs)
+        + ("" if not cs.get("amdahl") else
            f"\n- span decomposition (2-vs-32-thread sweep): wall "
            f"{cs['amdahl']['wall_2_threads']}s at 2 threads vs "
            f"{cs['amdahl']['wall_32_threads']}s at 32 — est. span "
            f"{cs['amdahl']['span_sec_est']}s "
            f"({cs['amdahl']['span_share_of_round']:.0%} of the "
            f"2-thread wall). {cs['amdahl']['note']}"))
+
+
+def _ladder_md(cs: dict) -> str:
+    if "ladder" not in cs:
+        return ""
+    lines = ["\n- volume ladder (wall = S + W/k fit per rung):"]
+    for e in cs["ladder"]:
+        f = e["fit"]
+        lines.append(
+            f"  - {e['rung']}: {e['pages_ok']:,} pages / "
+            f"{e['urls_assigned']:,} URLs assigned — wall "
+            f"{e['wall_sec_n']}s @ {cs['executors_n']} exec vs "
+            f"{e['wall_sec_4n']}s @ {cs['executors_4n']} exec "
+            f"(eff {e['scaling_efficiency_executors']:.3f}); fitted "
+            f"S={f['span_sec_fit']}s, W={f['parallel_core_sec_fit']} "
+            f"core-s (W/S={f['w_over_s']})")
+    p = cs.get("crossover_projection")
+    if p:
+        lines.append(
+            f"  - 0.8-efficiency crossover ({p['rule']}): needs "
+            f"W >= {p['w_needed_core_sec']} core-s — about "
+            f"{p['pages_at_crossover_est']:,} pages/run at the "
+            f"measured per-page cost. {p['north_rule_operating_point']}")
+    return "\n".join(lines)
 
 
 def _cluster_md(cluster: dict) -> str:
@@ -464,10 +489,16 @@ interleaved-reps protocol. Latest artifact (BENCH/cluster_scaling.json):
 `tools/crawl_scale_bench.py` times the WHOLE product crawl
 (run_crawl.py through spark-submit --py-files: sequencer, DNS+robots,
 politeness, simulated fetch join, parse, link extraction, dedup,
-frontier merge — all rounds) at N and 4N executor JVMs on the same
-20k-host synthetic web, interleaved fixed-count reps, order-exact
-digests asserted equal across levels. Latest artifact
-(BENCH/crawl_scaling.json):
+frontier merge — all rounds) at N and 4N executor JVMs on a VOLUME
+LADDER of synthetic webs (each rung interleaved fixed-count reps,
+order-exact digests asserted equal across levels, executor JVMs
+pinned to -XX:ActiveProcessorCount=2 — the cgroup/cpuset bound a real
+cluster imposes; without it co-located JVMs size thread pools for all
+32 host cores and congest the box). Each rung is decomposed as
+wall(k) = S + W/k (S = fixed per-round driver span, W = parallel
+core-seconds); N->4N efficiency crosses 0.8 exactly when
+W >= 11*N*S (22*S at the default N=2).
+Latest artifact (BENCH/crawl_scaling.json):
 
 {_crawl_scaling_md(crawl_scaling)}
 
@@ -505,18 +536,12 @@ family over a Mersenne prime — bit-exact on both engines);
 family — the scale path when no cross-engine oracle applies.
 
 """)
-        # unit per row: seconds for timings; a handful of keys are
-        # counts/ratios, not durations
-        unitless = ("crawl_pages_ok", "scaling_efficiency",
-                    "parallelism_determinism",
-                    "cluster_scaling_efficiency_executors",
-                    "cluster_determinism_vs_threads")
+        # qtimes holds the headline query timings (seconds) plus one
+        # count; the scaling/efficiency figures live in the dedicated
+        # sections above, not in this list
         for k, v in qtimes.items():
-            if k in unitless or "urls_per_sec" in k or "pages_per_sec" in k \
-                    or "efficiency" in k or "determinism" in k:
-                fp.write(f"- {k}: {v}\n")
-            else:
-                fp.write(f"- {k}: {v}s\n")
+            unit = "" if k == "crawl_pages_ok" else "s"
+            fp.write(f"- {k}: {v}{unit}\n")
 
 
 if __name__ == "__main__":

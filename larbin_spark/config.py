@@ -96,12 +96,18 @@ class CrawlConfig:
     MAX_BITMAP_BROADCAST_BUCKETS = 1 << 33
 
     def __post_init__(self) -> None:
+        # the dup bitmap only exists when the content-dup gate is on
+        # (plans/round.py builds bitmaps['dup_seen'] inside the
+        # page_no_duplicate branch), so dup_size only constrains the
+        # broadcast path in that case
+        widest = max(self.hash_size,
+                     self.dup_size if self.page_no_duplicate else 0)
         if self.seen_bitmap_broadcast and (
-                max(self.hash_size, self.dup_size)
-                > self.MAX_BITMAP_BROADCAST_BUCKETS):
+                widest > self.MAX_BITMAP_BROADCAST_BUCKETS):
             raise ValueError(
-                "seen_bitmap_broadcast=True needs hash_size/dup_size "
-                f"<= 2^33 buckets (1 GiB of bits); got "
+                "seen_bitmap_broadcast=True needs hash_size (and "
+                "dup_size when page_no_duplicate=True) <= 2^33 "
+                f"buckets (1 GiB of bits); got "
                 f"hash_size={self.hash_size}, dup_size={self.dup_size}. "
                 "Use the range-sharded seen-table join at scale-out "
                 "bucket spaces (operators/membership.py docstring).")

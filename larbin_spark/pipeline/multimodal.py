@@ -125,11 +125,18 @@ def write_media_parquet(path: str, n: int = 64) -> None:
             os.replace(tmp, path)
             break
         except OSError:
-            if attempt or os.path.isfile(path):
+            if os.path.isfile(path):
                 # a concurrent run won the race with an identical file
+                # (same deterministic rows, same schema)
                 if os.path.exists(tmp):
                     os.remove(tmp)
                 break
+            if attempt:
+                # both attempts failed and nothing usable exists at
+                # path — a persistent error (permissions, un-removable
+                # dir), not the benign race; surface it here rather
+                # than as a confusing read failure downstream
+                raise
 
 
 def extract_features(media: DataFrame, batch_hint: int = 256,

@@ -264,7 +264,6 @@ class CrawlState:
     @classmethod
     def load(cls, spark: SparkSession, store: SnapshotStore,
              rnd: int) -> "CrawlState":
-        from pyspark.sql import functions as F
         tables = {name: store.read_table(spark, rnd, name, _SCHEMAS[name])
                   for name in TABLES}
         for name in TOMBSTONED:

@@ -156,13 +156,19 @@ def render_content_col(docs_out: DataFrame,
 
 
 def write_docs_out(docs_out: DataFrame, outdir: str, mode: str = "save",
-                   privileged_exts: List[str] | None = None) -> None:
+                   privileged_exts: List[str] | None = None,
+                   site_list_size: int | None = None) -> None:
     """Materialize one output mode as a dir-partitioned parquet table
-    (columns: dir + fname/rel_path + index_line + url + content)."""
+    (columns: dir + fname/rel_path + index_line + url + content).
+
+    site_list_size: the crawl's configured named-site slot space
+    (CrawlConfig.named_site_list_size) — mirror mode hashes hosts with
+    it; pass it whenever the slot space is config-widened so the
+    mirror dirs and the crawl hash the same space."""
     if mode == "save":
         laid = save_layout(docs_out)
     elif mode == "mirror":
-        laid = mirror_layout(docs_out)
+        laid = mirror_layout(docs_out, site_list_size=site_list_size)
     elif mode == "specific":
         laid = specific_layout(docs_out, privileged_exts or [])
     else:

@@ -25,3 +25,27 @@ def test_empty_seen_bitmap(spark):
     assert bm.sum() == 0
     probe = spark.createDataFrame([(5,)], "bucket long")
     assert with_bitmap_hit(probe, bm).filter("seen_hit").count() == 0
+
+
+def test_bitmap_broadcast_guard_scales_with_dup_gate():
+    """The 2^33-bucket broadcast ceiling applies to hash_size always,
+    but to dup_size only when the content-dup gate is on — the dup
+    bitmap is never built otherwise (plans/round.py builds
+    bitmaps['dup_seen'] inside the page_no_duplicate branch)."""
+    import pytest
+
+    from larbin_spark.config import CrawlConfig
+
+    # dup gate off: a scale-out dup bucket space is fine
+    CrawlConfig(seen_bitmap_broadcast=True, page_no_duplicate=False,
+                hash_size=64_000_000, dup_size=1 << 40)
+    # dup gate on: the same dup_size would ride a broadcast -> reject
+    with pytest.raises(ValueError):
+        CrawlConfig(seen_bitmap_broadcast=True, page_no_duplicate=True,
+                    hash_size=64_000_000, dup_size=1 << 40)
+    # hash_size constrains the URL-seen bitmap unconditionally
+    with pytest.raises(ValueError):
+        CrawlConfig(seen_bitmap_broadcast=True, hash_size=1 << 40)
+    # no broadcast -> no ceiling (range-sharded join path)
+    CrawlConfig(seen_bitmap_broadcast=False, hash_size=1 << 40,
+                dup_size=1 << 40, page_no_duplicate=True)

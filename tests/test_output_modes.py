@@ -59,6 +59,22 @@ def test_mirror_layout_paths(spark):
     assert rows["http://b.com:8080/z"]["rel_path"] == "b.com:8080/z"
 
 
+def test_mirror_mode_threads_slot_space(spark, tmp_path):
+    """write_docs_out(mode='mirror') must hash hosts with the CRAWL'S
+    configured named-site slot space, not the compiled default — a
+    config-widened crawl (e.g. --named-site-list-size 200000) and its
+    mirror dirs must agree on siteHashCode."""
+    urls = ["http://a.com/x/y.html", "http://b.com/z"]
+    wide = 200_000
+    out = str(tmp_path / "mirror_mode")
+    write_docs_out(_docs_out(spark, urls), out, mode="mirror",
+                   site_list_size=wide)
+    back = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    for host, url in (("a.com", "http://a.com/x/y.html"),
+                      ("b.com", "http://b.com/z")):
+        assert back[url]["dir"] == f"d{site_hash(host, wide) % 1000:05d}"
+
+
 def test_specific_layout_ext_suffix(spark):
     urls = ["http://h.com/a.pdf", "http://h.com/b.html",
             "http://h.com/c.pdf", "http://h.com/d.ps"]

@@ -23,7 +23,8 @@ slots) and RAM budget (ram_urls). Full-pipeline executor efficiency
 is therefore a function of W/S, and the honest evidence is the
 measured efficiency at increasing W with the fitted S and W
 published, plus the projected W where efficiency crosses 0.8
-(eff = (S+W/2)/(4S+W/2) >= 0.8  <=>  W >= 22*S). At the north-rule
+(eff = (S+W/n)/(4S+W/n) >= 0.8  <=>  W >= 11*n*S; 22*S at the
+default n=2). At the north-rule
 operating point (SCALE.md §2: ~24M fetches/round) W/round sits ~3
 orders of magnitude above these politeness-bounded sandbox rungs —
 far past the measured crossover.
@@ -175,14 +176,16 @@ DIGKEYS = ("ordering_digest", "seen_digest", "docs_digest")
 
 def _fit(wall_n: float, wall_4n: float, n: int) -> dict:
     """wall(k) = S + W/k fitted from the two-level pair:
-    W = (wall_n - wall_4n) / (1/n - 1/(4n)) = delta * 4n/3;
-    the 0.8-efficiency crossover in this model is W >= 22*S."""
+    W = (wall_n - wall_4n) / (1/n - 1/(4n)) = delta * 4n/3.
+    The 0.8-efficiency crossover in this model:
+    eff = wall_n / (4 * wall_4n) >= 0.8  <=>  W >= 11*n*S
+    (22*S at the default n=2)."""
     w = max(0.0, (wall_n - wall_4n) * (4 * n) / 3.0)
     s = max(0.0, wall_n - w / n)
     return {"span_sec_fit": round(s, 1),
             "parallel_core_sec_fit": round(w, 1),
             "w_over_s": round(w / s, 2) if s > 0 else None,
-            "w_core_sec_for_eff_0_8": round(22 * s, 1)}
+            "w_core_sec_for_eff_0_8": round(11 * n * s, 1)}
 
 
 def main() -> None:
@@ -270,12 +273,13 @@ def main() -> None:
     s_high = head["fit"]["span_sec_fit"]
     w_high = head["fit"]["parallel_core_sec_fit"]
     proj = {
-        "rule": "eff(n->4n) >= 0.8  <=>  W >= 22*S  (wall = S + W/k)",
+        "rule": f"eff(n->4n) >= 0.8  <=>  W >= 11*n*S = {11 * n_a}*S "
+                "(wall = S + W/k)",
         "measured_S_sec": s_high,
         "measured_W_core_sec": w_high,
-        "w_needed_core_sec": round(22 * s_high, 1),
+        "w_needed_core_sec": round(11 * n_a * s_high, 1),
         "pages_at_crossover_est": int(head["pages_ok"]
-                                      * (22 * s_high)
+                                      * (11 * n_a * s_high)
                                       / max(w_high, 1e-9)),
         "north_rule_operating_point": (
             "SCALE.md §2 sizes a production round at ~24M fetches — "
