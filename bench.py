@@ -277,13 +277,22 @@ def _ladder_md(cs: dict) -> str:
             f"(eff {e['scaling_efficiency_executors']:.3f}); fitted "
             f"S={f['span_sec_fit']}s, W={f['parallel_core_sec_fit']} "
             f"core-s (W/S={f['w_over_s']})")
-    p = cs.get("crossover_projection")
+    p = cs.get("saturation_analysis")
     if p:
         lines.append(
-            f"  - 0.8-efficiency crossover ({p['rule']}): needs "
-            f"W >= {p['w_needed_core_sec']} core-s — about "
-            f"{p['pages_at_crossover_est']:,} pages/run at the "
-            f"measured per-page cost. {p['north_rule_operating_point']}")
+            f"  - saturation analysis ({p['model']}): fitted W per "
+            f"page (ms) = {p['per_rung_w_ms_per_page']!r}. "
+            f"{p['finding']}. Why this does not cap a real cluster: "
+            f"{p['why_this_does_not_cap_a_real_cluster']}")
+    else:
+        p = cs.get("crossover_projection")
+        if p:
+            lines.append(
+                f"  - 0.8-efficiency crossover ({p['rule']}): needs "
+                f"W >= {p['w_needed_core_sec']} core-s — about "
+                f"{p['pages_at_crossover_est']:,} pages/run at the "
+                f"measured per-page cost. "
+                f"{p['north_rule_operating_point']}")
     return "\n".join(lines)
 
 
@@ -495,9 +504,11 @@ order-exact digests asserted equal across levels, executor JVMs
 pinned to -XX:ActiveProcessorCount=2 — the cgroup/cpuset bound a real
 cluster imposes; without it co-located JVMs size thread pools for all
 32 host cores and congest the box). Each rung is decomposed as
-wall(k) = S + W/k (S = fixed per-round driver span, W = parallel
-core-seconds); N->4N efficiency crosses 0.8 exactly when
-W >= 11*N*S (22*S at the default N=2).
+wall(k) = S + W/k (S = per-run span, W = parallel core-seconds);
+N->4N efficiency crosses 0.8 exactly when W >= 11*N*S (22*S at the
+default N=2). The headline row is the rung at the measured
+efficiency frontier; the saturation rung past it shows the plateau
+and its cause (see the saturation analysis below).
 Latest artifact (BENCH/crawl_scaling.json):
 
 {_crawl_scaling_md(crawl_scaling)}
