@@ -44,12 +44,22 @@ from pyspark.sql import types as T
 
 
 def assign_global_seq(df: DataFrame, order_cols: List[str],
-                      out_col: str, base: int = 0) -> DataFrame:
+                      out_col: str, base: int = 0,
+                      counts_by: List[str] | None = None,
+                      counts_out: dict | None = None) -> DataFrame:
     """seq = base + (global rank of the row under order_cols).
 
     order_cols must form a unique total order. Returns df's columns
     plus `out_col` (long). Triggers two jobs (materialize + counts);
-    both scale out — no single-partition stage, no driver data."""
+    both scale out — no single-partition stage, no driver data.
+
+    counts_out (a dict, optional) piggybacks on the internal
+    per-partition counts job — the caller's row-count action comes
+    free instead of as another eager driver round-trip (the round
+    span is the sum of serial actions, docs/SCALE.md §6). It gets
+    {"total": n}; with counts_by=[col] also {"by": {value: n}}
+    grouped by that column. The offsets are unchanged: per-pid counts
+    are the by-group sums."""
     spark = df.sparkSession
     ranked = (df.repartitionByRange(*[F.col(c) for c in order_cols])
               .sortWithinPartitions(*order_cols)
@@ -68,13 +78,24 @@ def assign_global_seq(df: DataFrame, order_cols: List[str],
     ranked = ranked.mapInPandas(local_rank, out_schema)
     ranked = ranked.localCheckpoint(eager=True)
 
-    counts = sorted(
-        ((r["_pid"], r["_n"]) for r in
-         ranked.groupBy("_pid").agg(F.count("*").alias("_n")).collect()))
+    by = list(counts_by or [])
+    rows = (ranked.groupBy("_pid", *by)
+            .agg(F.count("*").alias("_n")).collect())
+    per_pid: dict = {}
+    for r in rows:
+        per_pid[r["_pid"]] = per_pid.get(r["_pid"], 0) + int(r["_n"])
+    if counts_out is not None:
+        counts_out["total"] = sum(per_pid.values())
+        if by:
+            by_counts: dict = {}
+            for r in rows:
+                k = r[by[0]] if len(by) == 1 else tuple(r[c] for c in by)
+                by_counts[k] = by_counts.get(k, 0) + int(r["_n"])
+            counts_out["by"] = by_counts
     off_rows, off = [], int(base)
-    for pid, n in counts:
+    for pid in sorted(per_pid):
         off_rows.append((int(pid), off))
-        off += int(n)
+        off += per_pid[pid]
     off_df = spark.createDataFrame(
         off_rows, T.StructType([T.StructField("_pid", T.IntegerType()),
                                 T.StructField("_off", T.LongType())]))

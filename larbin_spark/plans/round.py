@@ -565,22 +565,32 @@ class RoundRunner:
                  .select(*SLOTS_SCHEMA.names))
 
         # ---------- phase C: DNS + robots ----------
-        (slots, site_fifo, transfers_c, log_c, n_transfer_c,
-         n_forget_c) = self._phase_c(
+        (slots, site_fifo, transfers_c, log_c,
+         resolved_c) = self._phase_c(
             slots, site_fifo, rnd, C["transfer_seq_next"])
+        # the two phase-C outputs AND the action-count collect are
+        # independent plans over the already-checkpointed `resolved`:
+        # run all three concurrently instead of serially on the
+        # driver (each is an eager action; the round span is the sum
+        # of serial actions, VERDICT r3 next-round #5)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _cstats():
+            return {r["action"]: r["n"] for r in
+                    resolved_c.groupBy("action")
+                    .agg(F.count("*").alias("n")).collect()}
+
+        with ThreadPoolExecutor(max_workers=3) as _ex:
+            _f_cstats = _ex.submit(_cstats)
+            _f_slots = _ex.submit(_lc, slots)
+            _f_fifo = _ex.submit(_lc, site_fifo)
+            cstats = _f_cstats.result()
+            slots, site_fifo = _f_slots.result(), _f_fifo.result()
+        n_transfer_c = cstats.get(slot_logic.A_TRANSFER, 0)
+        n_forget_c = cstats.get(slot_logic.A_FORGET, 0)
         C["transfer_seq_next"] += n_transfer_c
         C["n_site_fifo"] -= (n_transfer_c + n_forget_c)
         C["n_ip_queue"] += n_transfer_c
-        # the two phase-C outputs are independent plans over the
-        # already-checkpointed `resolved`: materialize them
-        # concurrently instead of serially on the driver (each _lc is
-        # an eager action; the round span is the sum of serial
-        # actions, VERDICT r3 next-round #5)
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as _ex:
-            _f_slots = _ex.submit(_lc, slots)
-            _f_fifo = _ex.submit(_lc, site_fifo)
-            slots, site_fifo = _f_slots.result(), _f_fifo.result()
         # link-time fast-fail (initOK) consults slot state as of end of
         # phase C (docs/ROUND_MODEL.md)
         self.set_fastfail_slots(slots)
@@ -606,6 +616,7 @@ class RoundRunner:
         # config-widened at scale (SCALE.md §1), so rank it with the
         # two-phase distributed scheme instead of a single-partition
         # window (VERDICT r2 minor).
+        _dcnt: dict = {}
         if cfg.fetch_cap_per_round:
             fetched = (fetched.orderBy("bucket_head", "rn")
                        .limit(cfg.fetch_cap_per_round))
@@ -615,13 +626,17 @@ class RoundRunner:
                 + F.lit(C["fetch_seq_next"]))
         else:
             from ..operators.sequence import assign_global_seq
+            # counts_out rides the rank's internal counts job, so the
+            # n_fetched action below is only paid on the capped path
             fetched = assign_global_seq(
                 fetched, ["bucket_head", "rn"], "fetch_seq",
-                C["fetch_seq_next"])
+                C["fetch_seq_next"], counts_out=_dcnt)
         fetched = _lc(self._cap("D_fetched", fetched.select(
             "url", "host", "port", "path", "depth", "cookie", "tag",
             "slot_id", "ip_hash", "transfer_seq", "fetch_seq")))
-        n_fetched = fetched.count()
+        n_fetched = _dcnt.get("total")
+        if n_fetched is None:
+            n_fetched = fetched.count()
         C["fetch_seq_next"] += n_fetched
         C["n_ip_queue"] -= n_fetched
         _mark("D:fetched")
@@ -808,9 +823,6 @@ class RoundRunner:
 
         resolved = _lc(_apply_per_slot(scan_in, phase_c_scan,
                                        RESOLVED_SCHEMA))
-        cstats = {r["action"]: r["n"] for r in
-                  resolved.groupBy("action").agg(F.count("*").alias("n"))
-                  .collect()}
 
         # transfers (ordered after phase-B transfers)
         wtr = Window.orderBy("dns_queue_pos", "fifo_pos")
@@ -820,8 +832,6 @@ class RoundRunner:
                                    F.row_number().over(wtr) - 1
                                    + F.lit(transfer_base))
                        .select(*IP_QUEUE_SCHEMA.names))
-        n_transfer_c = cstats.get(slot_logic.A_TRANSFER, 0)
-        n_forget_c = cstats.get(slot_logic.A_FORGET, 0)
 
         log_c = (resolved.filter(F.col("action") == slot_logic.A_FORGET)
                  .select(F.lit(rnd).alias("round"), "url",
@@ -888,8 +898,11 @@ class RoundRunner:
                          .alias("dns_expire_round"),
                          F.when(F.col("u_processed"), F.col("u_ip_hash"))
                          .otherwise(F.col("ip_hash")).cast("int").alias("ip_hash")))
-        return (slots_new, site_fifo_new, transfers_c, log_c,
-                n_transfer_c, n_forget_c)
+        # the action-count collect over `resolved` is the CALLER's job
+        # (run_round overlaps it with the slots/site_fifo
+        # materializations on driver threads — all three read the
+        # already-checkpointed `resolved`)
+        return (slots_new, site_fifo_new, transfers_c, log_c, resolved)
 
     # ---------------- phase E ----------------
 
@@ -1019,7 +1032,14 @@ class RoundRunner:
 
         log_e_pages = pages.select(F.lit(rnd).alias("round"), "url",
                                    F.col("final_error").alias("error"))
-        n_success = pages.filter(F.col("final_error") == "success").count()
+        # the success count reads the checkpointed `pages` frame —
+        # run it on a driver thread, overlapped with the link/gate
+        # chain's materialization below, and join it after (span cut,
+        # VERDICT r3 next-round #5)
+        from concurrent.futures import ThreadPoolExecutor
+        _nsx = ThreadPoolExecutor(max_workers=1)
+        _f_nsuccess = _nsx.submit(
+            lambda: pages.filter(F.col("final_error") == "success").count())
 
         docs_out_new = (pages.filter(F.col("final_error") == "success")
                         .select(F.lit(rnd).alias("round"), "fetch_seq",
@@ -1147,6 +1167,8 @@ class RoundRunner:
                                      F.coalesce("seen_hit", F.lit(False))))
         survivors = _lc(self._cap("E_survivors", survivors.withColumn(
             "is_dup", (F.col("brn") > 1) | F.col("seen_hit"))))
+        n_success = _f_nsuccess.result()
+        _nsx.shutdown()
 
         novel = survivors.filter(~F.col("is_dup"))
 
@@ -1173,13 +1195,15 @@ class RoundRunner:
             F.col("l_cookie").alias("cookie"),
             F.col("l_tag").alias("tag"),
             queue_col.alias("queue"))
+        # the per-queue stats ride the rank's internal counts job
+        # (counts_by) — no separate lstats action over new_rows
+        _lcnt: dict = {}
         new_rows = assign_global_seq(
-            picked, ["fetch_seq", "link_idx"], "qseq", qseq_base)
+            picked, ["fetch_seq", "link_idx"], "qseq", qseq_base,
+            counts_by=["queue"], counts_out=_lcnt)
         new_rows = _lc(new_rows.select(*QUEUE_SCHEMA.names))
-        lstats = {r["queue"]: r["n"] for r in
-                  new_rows.groupBy("queue").agg(F.count("*").alias("n"))
-                  .collect()}
-        n_links_new = sum(lstats.values())
+        lstats = _lcnt["by"]
+        n_links_new = _lcnt["total"]
         st.counters["n_priority"] += lstats.get("priority", 0)
         st.counters["n_disk"] += lstats.get("disk", 0)
         queues = queues.unionByName(new_rows)

@@ -63,3 +63,29 @@ def test_partitioning_invariance(spark):
         out = assign_global_seq(df, ["fetch_seq", "link_idx"], "qseq", 7)
         outs.append(sorted(map(tuple, out.collect())))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_counts_out_piggyback(spark):
+    """counts_out must report exact totals (and per-group counts with
+    counts_by) from the SAME internal job, with identical sequence
+    assignment — the round driver uses it to drop two eager actions."""
+    rows = [(i // 3, i % 3, "disk" if i % 5 else "priority")
+            for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "fetch_seq long, link_idx int, queue string")
+    cnt = {}
+    out = assign_global_seq(df, ["fetch_seq", "link_idx"], "qseq", 7,
+                            counts_by=["queue"], counts_out=cnt)
+    assert cnt["total"] == 500
+    assert cnt["by"] == {"priority": 100, "disk": 400}
+    # the sequence itself is unchanged by the grouped counts
+    plain = assign_global_seq(df, ["fetch_seq", "link_idx"], "qseq", 7)
+    assert (sorted(map(tuple, out.collect()))
+            == sorted(map(tuple, plain.collect())))
+    # empty input: total 0, empty by-map
+    empty = spark.createDataFrame([], "fetch_seq long, link_idx int, "
+                                      "queue string")
+    cnt2 = {}
+    assign_global_seq(empty, ["fetch_seq", "link_idx"], "qseq", 0,
+                      counts_by=["queue"], counts_out=cnt2).count()
+    assert cnt2 == {"total": 0, "by": {}}
