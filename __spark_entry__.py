@@ -54,8 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from larbin_spark.pipeline import (analytics, ann, dedup, relational,
-                                       textstats)
+    from larbin_spark.pipeline import (analytics, ann, curation, dedup,
+                                       relational, textstats)
 
     def q_running_total(spark, sf):
         return analytics.running_total(_t(spark, sf, "orders"))
@@ -209,6 +209,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "kind", "n_bytes", "digest")
                 .orderBy("media_id"))
 
+    def q_decontaminate(spark, sf):
+        return curation.decontaminate(_t(spark, sf, "documents"), 97, 3)
+
+    def q_stratified(spark, sf):
+        return curation.stratified_sample(_t(spark, sf, "documents"))
+
+    def q_repetition(spark, sf):
+        return curation.repetition_stats(_t(spark, sf, "documents"))
+
     return {
         "crawl_sequencer_cap": q_sequencer,
         "crawl_politeness_heads": q_politeness,
@@ -238,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_neardup,
         "crawl_save_layout": q_save_layout,
         "multimodal_features": q_multimodal,
+        "curation_decontaminate": q_decontaminate,
+        "curation_stratified_sample": q_stratified,
+        "curation_repetition": q_repetition,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -320,7 +332,20 @@ def oracle_sql() -> dict[str, str]:
            "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
            "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))")
 
+    from larbin_spark.pipeline.curation import STRATA_RATES_PER_MILLE
     from larbin_spark.pipeline.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    # md5_60 digit-sum over a precomputed hex column `hx` (same
+    # 15-hex-char construction as _HB_DIGITS, but over a CTE column
+    # so md5 is evaluated once per row)
+    hx_digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}" for i in range(15))
+    strata_case = ("CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}"
+        for lang, rate in sorted(STRATA_RATES_PER_MILLE.items()))
+        + " ELSE 0 END")
+
     minhash_aggs = ", ".join(
         f"min(({MINHASH_A[i]} * hb + {MINHASH_B[i]}) % {MINHASH_P})"
         f" AS mh{i}" for i in range(16))
@@ -642,6 +667,46 @@ SELECT media_id, kind,
        md5(lower(hex(payload))) AS digest
 FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}')
 ORDER BY media_id""",
+        "curation_decontaminate": f"""
+WITH {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+ov AS (SELECT tr.doc_id, count(*) AS n_overlap
+       FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+SELECT ov.doc_id, n_overlap, n_shingles,
+       round(n_overlap / n_shingles, 6) AS contam_frac
+FROM ov JOIN sizes USING (doc_id) ORDER BY doc_id""",
+        "curation_stratified_sample": f"""
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+b AS (SELECT doc_id, lang,
+             CAST(({hx_digits}) % 1000 AS BIGINT) AS bucket
+      FROM h)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < ({strata_case}) ORDER BY doc_id""",
+        "curation_repetition": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+big0 AS (
+  SELECT doc_id,
+         concat_ws(' ', w, lead(w,1) OVER win) AS bigram,
+         lead(w,1) OVER win AS guard
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+big AS (SELECT doc_id, bigram FROM big0 WHERE guard IS NOT NULL),
+per_big AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams
+            FROM per_big GROUP BY doc_id),
+toks AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_dist
+         FROM tok GROUP BY doc_id)
+SELECT per_doc.doc_id, n_bigrams, top_bigram_n,
+       round(top_bigram_n / n_bigrams, 6) AS top_bigram_frac,
+       round(1 - n_dist / n_tok, 6) AS dup_token_frac
+FROM per_doc JOIN toks USING (doc_id) ORDER BY doc_id""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

@@ -1,0 +1,144 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic stratified sampling, and repetition-based quality
+signals.
+
+These extend the dedup/textstats families with the remaining
+curation steps a large-scale pretraining pipeline runs between "raw
+deduped corpus" and "training mix". Like the rest of the pipeline
+package, every derived value bottoms out in md5 / exact signed-64
+integer arithmetic so the DuckDB oracles agree bit-for-bit, and all
+hot-path expressions are JVM-side column arithmetic (whole-stage
+codegen, no Python in the loop).
+
+Scale notes (100 TB thinking):
+- decontaminate: the eval/benchmark shingle set is bounded by the
+  benchmark suite size (MBs against a 100 TB corpus), so it is the
+  textbook broadcast side; the corpus-side pass is one shingle
+  projection + broadcast-hash semi-join + partial-agg groupBy —
+  no corpus-sized shuffle beyond the per-doc aggregation.
+- stratified_sample: a stateless hash predicate per row — fully
+  pushdown-friendly (no shuffle, no state, reproducible across
+  cluster sizes because the hash depends only on doc_id).
+- repetition_stats: per-doc windows partition by doc_id (bounded
+  groups), and the (doc_id, bigram) count has map-side partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from larbin_spark.pipeline.dedup import _shingles, _tokens
+
+# Per-stratum keep thresholds out of 1000 (hash(doc_id) % 1000 <
+# threshold keeps the row). Shared with the DuckDB oracle in
+# __spark_entry__ so both engines sample the identical rows.
+STRATA_RATES_PER_MILLE = {"en": 500, "de": 300, "fr": 200,
+                          "es": 100, "zh": 50}
+
+
+def _md5_60(col):
+    """First 15 hex chars (60 bits) of md5 as a non-negative long —
+    the same engine-portable construction minhash/simhash use (15,
+    not 16, so the value stays inside a signed 64-bit long on both
+    engines)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15),
+                  16, 10).cast("long")
+
+
+def decontaminate(documents: DataFrame, eval_mod: int = 97,
+                  k: int = 3) -> DataFrame:
+    """Benchmark decontamination by k-gram overlap (the GPT-3/PaLM
+    style n-gram collision scan): flag every training document that
+    shares at least one k-word shingle with the held-out eval set.
+
+    The eval set here is the deterministic stand-in `doc_id %
+    eval_mod == 0` (no external benchmark files exist in the
+    sandbox); a real run substitutes the benchmark corpus on the
+    eval side and nothing else changes. Returns one row per
+    CONTAMINATED training doc: distinct-shingle overlap count, the
+    doc's own distinct-shingle count, and the overlap fraction.
+
+    Scale: eval shingles are benchmark-bounded -> broadcast; the
+    training side is one distinct-shingle projection, a broadcast
+    semi-join, and a per-doc partial agg. Nothing corpus-sized
+    shuffles on a string key.
+    """
+    sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
+    ev = (sh.filter(F.col("doc_id") % eval_mod == 0)
+          .select("shingle").distinct())
+    tr = sh.filter(F.col("doc_id") % eval_mod != 0)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (tr.join(F.broadcast(ev), "shingle")
+               .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    return (overlap.join(sizes, "doc_id")
+            .select("doc_id", "n_overlap", "n_shingles",
+                    F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+                    .alias("contam_frac"))
+            .orderBy("doc_id"))
+
+
+def stratified_sample(documents: DataFrame,
+                      rates_per_mille: dict[str, int] | None = None,
+                      ) -> DataFrame:
+    """Deterministic per-language stratified sample: keep a row iff
+    md5_60(doc_id) % 1000 < rate[lang]. Hash-gated sampling (not
+    rand()) so the sample is reproducible run-to-run, engine-to-
+    engine, and cluster-size-to-cluster-size — the property a
+    training mix needs for exact re-materialization. Languages
+    absent from the rate table sample at 0 (dropped).
+
+    Scale: a stateless row predicate — no shuffle, no RNG state,
+    survives any repartitioning unchanged.
+    """
+    rates = (STRATA_RATES_PER_MILLE if rates_per_mille is None
+             else rates_per_mille)
+    bucket = _md5_60(F.col("doc_id").cast("string")) % 1000
+    thresh = F.lit(0)
+    for lang in sorted(rates):
+        thresh = F.when(F.col("lang") == lang,
+                        F.lit(rates[lang])).otherwise(thresh)
+    return (documents
+            .select("doc_id", "lang", bucket.alias("bucket"),
+                    thresh.alias("_th"))
+            .filter(F.col("bucket") < F.col("_th"))
+            .drop("_th")
+            .orderBy("doc_id"))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    per document, the fraction of all word-bigrams taken by the
+    single most frequent bigram, and the duplicate-token fraction
+    (1 - distinct/total tokens). High values mark boilerplate /
+    degenerate text that dedup misses because no two documents are
+    byte-identical. Docs with fewer than two tokens have no bigrams
+    and are excluded (nothing to measure).
+
+    Scale: the bigram window partitions by doc_id (bounded groups),
+    and both groupBys get map-side partial aggregation; ratios are
+    computed post-agg on per-doc rows.
+    """
+    tok = _tokens(documents)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (tok.select("doc_id",
+                      F.concat_ws(" ", F.col("w"),
+                                  F.lead("w", 1).over(w)).alias("bigram"),
+                      F.lead("w", 1).over(w).alias("_guard"))
+           .filter(F.col("_guard").isNotNull()).drop("_guard"))
+    per_big = big.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    per_doc = per_big.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("n_bigrams"))
+    toks = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("w").alias("n_dist"))
+    return (per_doc.join(toks, "doc_id")
+            .select("doc_id",
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+                    F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6)
+                    .alias("top_bigram_frac"),
+                    F.round(1 - F.col("n_dist") / F.col("n_tok"), 6)
+                    .alias("dup_token_frac"))
+            .orderBy("doc_id"))
