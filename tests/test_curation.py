@@ -1,0 +1,72 @@
+"""Intent-level tests for the curation operators (the contract
+parity test in test_entry_contract.py covers engine agreement; these
+pin the SEMANTICS on constructed inputs)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from larbin_spark.pipeline import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    # doc 0 is the eval doc (0 % 97 == 0); doc 1 copies one of its
+    # 3-gram windows, doc 2 shares no shingle.
+    rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (1, "zz alpha beta gamma yy", "en"),
+        (2, "one two three four five", "en"),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.decontaminate(_docs(spark, rows)).collect()}
+    assert set(out) == {1}
+    # doc 1's shingles: {zz alpha beta, alpha beta gamma, beta gamma yy}
+    # overlap with eval: {alpha beta gamma} -> 1 of 3
+    assert out[1]["n_overlap"] == 1
+    assert out[1]["n_shingles"] == 3
+    assert abs(out[1]["contam_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_decontaminate_eval_docs_never_reported(spark):
+    rows = [(0, "a b c d", "en"), (97, "a b c d", "en"),
+            (5, "a b c d", "en")]
+    ids = [r["doc_id"]
+           for r in curation.decontaminate(_docs(spark, rows)).collect()]
+    # 0 and 97 are eval-side; only training doc 5 can be flagged
+    assert ids == [5]
+
+
+def test_stratified_sample_deterministic_and_gated(spark):
+    rows = [(i, f"text {i}", lang)
+            for i, lang in enumerate(["en", "de", "fr", "es", "zh"] * 40)]
+    df = _docs(spark, rows)
+    a = sorted(r["doc_id"] for r in curation.stratified_sample(df).collect())
+    b = sorted(r["doc_id"] for r in curation.stratified_sample(df).collect())
+    assert a == b and len(a) > 0
+    # unknown language samples at rate 0
+    unk = _docs(spark, [(1, "x y", "xx"), (2, "x y", "yy")])
+    assert curation.stratified_sample(unk).count() == 0
+    # custom rates: 1000 keeps everything, 0 drops everything
+    assert curation.stratified_sample(
+        df, {"en": 1000}).count() == 40
+    assert curation.stratified_sample(df, {"en": 0}).count() == 0
+
+
+def test_repetition_stats_degenerate_vs_diverse(spark):
+    rows = [
+        (1, "spam spam spam spam spam", "en"),   # 4 identical bigrams
+        (2, "a b c d e", "en"),                  # all bigrams distinct
+        (3, "solo", "en"),                       # no bigrams -> excluded
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.repetition_stats(_docs(spark, rows)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_token_frac"] == 0.8      # 1 distinct of 5
+    assert out[2]["top_bigram_frac"] == 0.25    # 1 of 4 bigrams
+    assert out[2]["dup_token_frac"] == 0.0
