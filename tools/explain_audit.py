@@ -96,6 +96,33 @@ CHECKS = {
         ("expand + partial agg",
          lambda p: "Expand" in p and "partial_sum" in p),
     ],
+    "curation_decontaminate": [
+        ("eval-shingle set broadcast (benchmark side is bounded; the "
+         "corpus side streams)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product (overlap keyed on shingle)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("partial aggregation (map-side combine)",
+         lambda p: "partial_count" in p),
+    ],
+    "curation_stratified_sample": [
+        ("stateless hash predicate: zero hash-partition shuffles "
+         "(the only exchange is the presentation sort)",
+         lambda p: _n_hash_exchanges(p) == 0),
+        ("pure JVM column arithmetic (no Python at all)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "codegen id" in p),
+    ],
+    "curation_repetition": [
+        ("all windows partition by doc_id (bounded groups)",
+         lambda p: all(w.startswith("windowspecdefinition(doc_id")
+                       for w in re.findall(
+                           r"windowspecdefinition\([^)]*\)", p))),
+        ("partial aggregation (map-side combine)",
+         lambda p: "partial_count" in p or "partial_max" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
