@@ -36,7 +36,7 @@ FRONTIER_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "50000"))
 HEADLINE = [
     "crawl_dim_join_agg", "crawl_sequencer_cap", "crawl_seen_antijoin",
     "crawl_explode_links", "dedup_exact", "dedup_minhash_lsh",
-    "text_quality", "ann_cosine_topk",
+    "text_quality", "ann_cosine_topk", "curation_decontaminate",
 ]
 
 
