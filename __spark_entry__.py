@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_repetition(spark, sf):
         return curation.repetition_stats(_t(spark, sf, "documents"))
 
+    def q_budget_pack(spark, sf):
+        return curation.budget_pack(_t(spark, sf, "documents"), 20000)
+
     return {
         "crawl_sequencer_cap": q_sequencer,
         "crawl_politeness_heads": q_politeness,
@@ -250,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontaminate": q_decontaminate,
         "curation_stratified_sample": q_stratified,
         "curation_repetition": q_repetition,
+        "curation_budget_pack": q_budget_pack,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -707,6 +711,26 @@ SELECT per_doc.doc_id, n_bigrams, top_bigram_n,
        round(top_bigram_n / n_bigrams, 6) AS top_bigram_frac,
        round(1 - n_dist / n_tok, 6) AS dup_token_frac
 FROM per_doc JOIN toks USING (doc_id) ORDER BY doc_id""",
+        "curation_budget_pack": f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor(
+           round(CASE WHEN len(string_split(text, ' ')) < 5 THEN 0.0
+                 ELSE least(1.0, len(string_split(text, ' ')) / 200.0) * 0.5
+                      + least(1.0, (({stop_en}) /
+                                    len(string_split(text, ' '))) * 5) * 0.5
+                 END, 4) * 10000 + 0.5) AS BIGINT) AS q_e4
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY q_e4 DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM q)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

@@ -42,6 +42,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Audit hook (tools/explain_audit.py, same idea as RoundRunner.
+# plan_probe): the localCheckpoint materializes the rank/cumsum pass,
+# so the caller's final plan shows only `Scan ExistingRDD` — the
+# MapInPandas stage the scale claims are about is invisible there.
+# Each call stores its pre-checkpoint DataFrame here (lazy plan
+# object, last call wins) so the audit can explain() the stage that
+# actually ran.
+PLAN_PROBE: dict = {}
+
 
 def assign_global_seq(df: DataFrame, order_cols: List[str],
                       out_col: str, base: int = 0,
@@ -102,3 +111,81 @@ def assign_global_seq(df: DataFrame, order_cols: List[str],
     return (ranked.join(F.broadcast(off_df), "_pid")
             .withColumn(out_col, F.col("_off") + F.col("_lrn"))
             .drop("_pid", "_lrn", "_off"))
+
+
+def assign_group_cumsum(df: DataFrame, group_cols: List[str],
+                        order_cols: List[str], value_col: str,
+                        out_col: str) -> DataFrame:
+    """Per-group inclusive running sum of `value_col` under the
+    (group_cols, order_cols) total order — the same two-phase scheme
+    as assign_global_seq, generalized from rank to prefix sum.
+
+    The naive form — `sum() OVER (PARTITION BY group ORDER BY ...)` —
+    funnels each group through ONE task; with a handful of giant
+    groups (e.g. per-source packing over a 100 TB corpus) that is a
+    single-task sort of the largest group. Here the range shuffle
+    spreads every group across many partitions, each partition
+    computes local per-group cumsums in one vectorized Arrow pass,
+    and the driver prefix-sums the per-(partition, group) totals into
+    broadcast carry-in offsets.
+
+    group_cols cardinality must be driver-bounded (the offsets table
+    is #partitions x #groups rows) — true for source/lang-style
+    strata; (group_cols + order_cols) must be a unique total order,
+    and value_col must be integral (the carry arithmetic is exact
+    longs). Determinism: like assign_global_seq, the result depends
+    only on the total order, never on range-boundary placement."""
+    spark = df.sparkSession
+    all_order = list(group_cols) + list(order_cols)
+    ranked = (df.repartitionByRange(*[F.col(c) for c in all_order])
+              .sortWithinPartitions(*all_order)
+              .withColumn("_pid", F.spark_partition_id()))
+    out_schema = T.StructType(
+        list(ranked.schema.fields) + [T.StructField("_lcs", T.LongType())])
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key, carry_sum = None, 0
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            cs = (pdf[value_col].astype("int64")
+                  .groupby([pdf[c] for c in group_cols]).cumsum()
+                  .to_numpy())
+            if len(pdf):
+                first_key = tuple(pdf.iloc[0][c] for c in group_cols)
+                if first_key == carry_key:
+                    # rows are (group, order)-sorted: the carried
+                    # group is exactly the leading run of rows whose
+                    # key equals the first row's
+                    same = np.ones(len(pdf), dtype=bool)
+                    for c in group_cols:
+                        same &= (pdf[c].to_numpy()
+                                 == pdf[c].iloc[0])
+                    run = len(pdf) if same.all() \
+                        else int(np.argmin(same))
+                    cs[:run] += carry_sum
+                last_key = tuple(pdf.iloc[-1][c] for c in group_cols)
+                carry_key, carry_sum = last_key, int(cs[-1])
+            pdf["_lcs"] = cs
+            yield pdf
+
+    ranked = ranked.mapInPandas(local_cumsum, out_schema)
+    PLAN_PROBE["group_cumsum"] = ranked
+    ranked = ranked.localCheckpoint(eager=True)
+
+    rows = (ranked.groupBy("_pid", *group_cols)
+            .agg(F.sum(value_col).alias("_t")).collect())
+    by_group: dict = {}
+    off_rows = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        k = tuple(r[c] for c in group_cols)
+        off = by_group.get(k, 0)
+        off_rows.append((int(r["_pid"]),) + k + (off,))
+        by_group[k] = off + int(r["_t"])
+    grp_fields = [ranked.schema[c] for c in group_cols]
+    off_df = spark.createDataFrame(
+        off_rows, T.StructType(
+            [T.StructField("_pid", T.IntegerType())] + grp_fields
+            + [T.StructField("_goff", T.LongType())]))
+    return (ranked.join(F.broadcast(off_df), ["_pid"] + list(group_cols))
+            .withColumn(out_col, F.col("_goff") + F.col("_lcs"))
+            .drop("_pid", "_lcs", "_goff"))

@@ -106,6 +106,42 @@ def stratified_sample(documents: DataFrame,
             .orderBy("doc_id"))
 
 
+def budget_pack(documents: DataFrame,
+                budget_tokens: int = 20000) -> DataFrame:
+    """Token-budget mix packing: per source, keep the highest-quality
+    documents (ties -> smallest doc_id) while the running token total
+    stays within budget_tokens — the selection step that turns a
+    scored corpus into a fixed-size training mix.
+
+    The running total uses operators.sequence.assign_group_cumsum,
+    NOT `sum() OVER (PARTITION BY source ...)`: a per-source window
+    funnels each source through one task, and a 100 TB corpus has a
+    handful of giant sources. The two-phase scheme range-shuffles on
+    (source, quality, doc_id), cumsums locally per partition, and
+    carries per-(partition, source) totals through broadcast offsets
+    — every stage scales out. Quality is the rounded
+    textstats.quality_score, integer-ized (x10^4) so the order and
+    the sums are engine-exact.
+    """
+    from ..operators.sequence import assign_group_cumsum
+    from .textstats import quality_score
+    base = documents.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    q = quality_score(documents).select(
+        "doc_id",
+        F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+        .alias("q_e4"))
+    scored = (base.join(q, "doc_id")
+              .withColumn("neg_q", -F.col("q_e4")))
+    packed = assign_group_cumsum(scored, ["source"],
+                                 ["neg_q", "doc_id"], "n_tokens",
+                                 "cum_tokens")
+    return (packed.filter(F.col("cum_tokens") <= budget_tokens)
+            .select("doc_id", "source", "n_tokens", "cum_tokens")
+            .orderBy("doc_id"))
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher-rules family):
     per document, the fraction of all word-bigrams taken by the

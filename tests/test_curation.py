@@ -70,3 +70,18 @@ def test_repetition_stats_degenerate_vs_diverse(spark):
     assert out[1]["dup_token_frac"] == 0.8      # 1 distinct of 5
     assert out[2]["top_bigram_frac"] == 0.25    # 1 of 4 bigrams
     assert out[2]["dup_token_frac"] == 0.0
+
+
+def test_budget_pack_greedy_by_quality(spark):
+    # src1: high-quality 50-token doc packs first; the next doc would
+    # blow the 55-token budget and is cut. src2 packs independently.
+    hi = " ".join(["the and of to in"] * 10)          # 50 tok, stopword-rich
+    lo = " ".join(["zz"] * 10)                        # 10 tok, no stopwords
+    rows = [(1, hi, "src1"), (2, lo, "src1"), (3, lo, "src2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from larbin_spark.pipeline import curation
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.budget_pack(df, 55).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["cum_tokens"] == 50
+    assert out[3]["cum_tokens"] == 10

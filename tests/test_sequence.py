@@ -89,3 +89,74 @@ def test_counts_out_piggyback(spark):
     assign_global_seq(empty, ["fetch_seq", "link_idx"], "qseq", 0,
                       counts_by=["queue"], counts_out=cnt2).count()
     assert cnt2 == {"total": 0, "by": {}}
+
+
+# ---------------- assign_group_cumsum ----------------
+
+from larbin_spark.operators.sequence import assign_group_cumsum
+
+
+def _cumsum_oracle(df, group_cols, order_cols, value_col, out_col):
+    w = (Window.partitionBy(*group_cols).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(out_col, F.sum(value_col).over(w).cast("long"))
+
+
+def _cumsum_check(spark, rows, parts):
+    df = spark.createDataFrame(
+        rows, "grp string, ord long, v long").repartition(parts)
+    got = assign_group_cumsum(df, ["grp"], ["ord"], "v", "cum")
+    want = _cumsum_oracle(df, ["grp"], ["ord"], "v", "cum")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_group_cumsum_matches_window_oracle(spark):
+    rng = random.Random(11)
+    rows = [(f"s{rng.randint(0, 4)}", i, rng.randint(1, 50))
+            for i in range(2000)]
+    _cumsum_check(spark, rows, parts=7)
+
+
+def test_group_cumsum_one_giant_group(spark):
+    # the skew case the two-phase scheme exists for: one group spans
+    # every range partition, so the carry chain crosses all of them
+    rows = [("hot", i, 3) for i in range(1500)]
+    rows += [(f"cold{i}", 10**6 + i, 5) for i in range(20)]
+    _cumsum_check(spark, rows, parts=9)
+
+
+def test_group_cumsum_batch_carry(spark):
+    """Force many small Arrow batches inside each partition so the
+    carry-across-batches path (not just across partitions) runs."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        rows = [("a", i, 2) for i in range(400)]
+        rows += [("b", i, 7) for i in range(300)]
+        _cumsum_check(spark, rows, parts=3)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_group_cumsum_partitioning_invariance(spark):
+    rows = [(f"g{i % 3}", i, (i * 7) % 13 + 1) for i in range(600)]
+    outs = []
+    for parts in (1, 4, 13):
+        df = spark.createDataFrame(
+            rows, "grp string, ord long, v long").repartition(parts)
+        out = assign_group_cumsum(df, ["grp"], ["ord"], "v", "cum")
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_group_cumsum_empty(spark):
+    df = spark.createDataFrame([], "grp string, ord long, v long")
+    out = assign_group_cumsum(df, ["grp"], ["ord"], "v", "cum")
+    assert out.count() == 0
+    assert dict(out.dtypes)["cum"] == "bigint"

@@ -114,6 +114,25 @@ CHECKS = {
          lambda p: "ArrowEvalPython" not in p
          and "BatchEvalPython" not in p and "codegen id" in p),
     ],
+    # budget_pack's cumsum pass is localCheckpointed, so the final
+    # plan alone shows only `Scan ExistingRDD`; the audit appends the
+    # pre-checkpoint plan from operators.sequence.PLAN_PROBE (see
+    # PRE_CHECKPOINT_PROBES below) so these predicates see the stage
+    # that actually ran.
+    "curation_budget_pack": [
+        ("no per-source window: the running sum is the two-phase "
+         "scheme (a giant source would otherwise funnel through one "
+         "task) — any windowspecdefinition partitioned on source "
+         "fails this",
+         lambda p: not any(
+             w.startswith("windowspecdefinition(source")
+             for w in re.findall(r"windowspecdefinition\([^)]*\)", p))),
+        ("carry offsets joined by broadcast",
+         lambda p: any("_goff" in b for b in _broadcast_inputs(p))),
+        ("local cumsum is one Arrow pass (MapInPandas), no "
+         "row-at-a-time Python",
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+    ],
     "curation_repetition": [
         ("all windows partition by doc_id (bounded groups)",
          lambda p: all(w.startswith("windowspecdefinition(doc_id")
@@ -282,6 +301,14 @@ CRAWL_CHECKS = {
     ],
 }
 
+# Queries whose operator localCheckpoints an internal stage: the
+# audit appends that stage's pre-checkpoint plan (stored in
+# operators.sequence.PLAN_PROBE by the operator itself) to the
+# audited text, so predicates can see inside the checkpoint barrier.
+PRE_CHECKPOINT_PROBES = {
+    "curation_budget_pack": "group_cumsum",
+}
+
 
 def audit_crawl_round(spark, out: list) -> int:
     import tempfile
@@ -372,6 +399,12 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
+            probe_key = PRE_CHECKPOINT_PROBES.get(name)
+            if probe_key is not None:
+                from larbin_spark.operators import sequence
+                print(f"-- pre-checkpoint stage (operators.sequence."
+                      f"PLAN_PROBE[{probe_key!r}]) --")
+                sequence.PLAN_PROBE[probe_key].explain("formatted")
         plan = buf.getvalue()
         out.append(f"## {name}")
         out.append("")
