@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_budget_pack(spark, sf):
         return curation.budget_pack(_t(spark, sf, "documents"), 20000)
 
+    def q_pack_sequences(spark, sf):
+        return curation.pack_sequences(_t(spark, sf, "documents"), 512)
+
     return {
         "crawl_sequencer_cap": q_sequencer,
         "crawl_politeness_heads": q_politeness,
@@ -254,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stratified_sample": q_stratified,
         "curation_repetition": q_repetition,
         "curation_budget_pack": q_budget_pack,
+        "curation_pack_sequences": q_pack_sequences,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -731,6 +735,22 @@ c AS (
   FROM q)
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""",
+        "curation_pack_sequences": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+           AS begin_off
+  FROM t)
+SELECT doc_id, n_tokens, begin_off,
+       CAST(floor(begin_off / 512) AS BIGINT) AS seq_id,
+       CAST(floor((begin_off + n_tokens - 1) / 512)
+            - floor(begin_off / 512) + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

@@ -142,6 +142,40 @@ def budget_pack(documents: DataFrame,
             .orderBy("doc_id"))
 
 
+def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): lay every
+    document end-to-end in doc_id order into one global token stream,
+    then cut the stream into fixed seq_len windows — the layout step
+    that turns a curated corpus into equal-length training examples.
+    Returns per doc: its token count, its start offset in the stream,
+    the training sequence its first token lands in, and how many
+    sequences it spans (a doc longer than seq_len crosses several).
+
+    The textbook implementation is `sum(n) OVER (ORDER BY doc_id)` —
+    an UNPARTITIONED window, i.e. the entire corpus through one task.
+    Here the stream offsets come from the same two-phase cumsum as
+    budget_pack (constant stream key, so the carry offsets table is
+    exactly #partitions rows): range shuffle on doc_id, one local
+    Arrow cumsum pass per partition, broadcast carry-ins. Every stage
+    scales out; offsets are exact longs on both engines.
+    """
+    from ..operators.sequence import assign_group_cumsum
+    base = documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    packed = assign_group_cumsum(
+        base.withColumn("_stream", F.lit(0)),
+        ["_stream"], ["doc_id"], "n_tokens", "_end")
+    begin = F.col("_end") - F.col("n_tokens")
+    first_seq = F.floor(begin / seq_len).cast("long")
+    last_seq = F.floor((F.col("_end") - 1) / seq_len).cast("long")
+    return (packed.select(
+        "doc_id", "n_tokens", begin.alias("begin_off"),
+        first_seq.alias("seq_id"),
+        (last_seq - first_seq + 1).alias("n_seqs"))
+        .orderBy("doc_id"))
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher-rules family):
     per document, the fraction of all word-bigrams taken by the

@@ -72,6 +72,31 @@ def test_repetition_stats_degenerate_vs_diverse(spark):
     assert out[2]["dup_token_frac"] == 0.0
 
 
+def test_pack_sequences_offsets_and_spans(spark):
+    # stream: doc1 [0,3) doc2 [3,8) doc3 [8,10); seq_len=7 cuts at 7
+    rows = [(1, "a b c", "s"), (2, "d e f g h", "s"), (3, "i j", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from larbin_spark.pipeline import curation
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.pack_sequences(df, 7).collect()}
+    assert out[1] == {"doc_id": 1, "n_tokens": 3, "begin_off": 0,
+                      "seq_id": 0, "n_seqs": 1}
+    # doc2 starts in seq 0 (offset 3) and its last token (offset 7)
+    # lands in seq 1 -> spans 2 sequences
+    assert out[2] == {"doc_id": 2, "n_tokens": 5, "begin_off": 3,
+                      "seq_id": 0, "n_seqs": 2}
+    assert out[3] == {"doc_id": 3, "n_tokens": 2, "begin_off": 8,
+                      "seq_id": 1, "n_seqs": 1}
+
+
+def test_pack_sequences_long_doc_spans_many(spark):
+    rows = [(1, " ".join(["w"] * 20), "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from larbin_spark.pipeline import curation
+    out = curation.pack_sequences(df, 7).collect()[0]
+    assert (out["begin_off"], out["seq_id"], out["n_seqs"]) == (0, 0, 3)
+
+
 def test_budget_pack_greedy_by_quality(spark):
     # src1: high-quality 50-token doc packs first; the next doc would
     # blow the 55-token budget and is cut. src2 packs independently.

@@ -133,6 +133,17 @@ CHECKS = {
          "row-at-a-time Python",
          lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
     ],
+    "curation_pack_sequences": [
+        ("no unpartitioned window: the global stream offset is the "
+         "two-phase cumsum, never `sum() OVER (ORDER BY doc_id)` "
+         "(whole corpus through one task)",
+         lambda p: "windowspecdefinition" not in p),
+        ("carry offsets joined by broadcast",
+         lambda p: any("_goff" in b for b in _broadcast_inputs(p))),
+        ("local cumsum is one Arrow pass (MapInPandas), no "
+         "row-at-a-time Python",
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+    ],
     "curation_repetition": [
         ("all windows partition by doc_id (bounded groups)",
          lambda p: all(w.startswith("windowspecdefinition(doc_id")
@@ -307,6 +318,7 @@ CRAWL_CHECKS = {
 # audited text, so predicates can see inside the checkpoint barrier.
 PRE_CHECKPOINT_PROBES = {
     "curation_budget_pack": "group_cumsum",
+    "curation_pack_sequences": "group_cumsum",
 }
 
 
