@@ -37,6 +37,7 @@ HEADLINE = [
     "crawl_dim_join_agg", "crawl_sequencer_cap", "crawl_seen_antijoin",
     "crawl_explode_links", "dedup_exact", "dedup_minhash_lsh",
     "text_quality", "ann_cosine_topk", "curation_decontaminate",
+    "curation_budget_pack",
 ]
 
 

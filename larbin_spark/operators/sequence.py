@@ -133,8 +133,12 @@ def assign_group_cumsum(df: DataFrame, group_cols: List[str],
     is #partitions x #groups rows) — true for source/lang-style
     strata; (group_cols + order_cols) must be a unique total order,
     and value_col must be integral (the carry arithmetic is exact
-    longs). Determinism: like assign_global_seq, the result depends
-    only on the total order, never on range-boundary placement."""
+    longs). Group and value columns must be NON-NULL: pandas groupby
+    drops NaN keys and the offsets join is an equality join, so a
+    null would silently lose rows — the Arrow pass fails loud on the
+    first null instead. Determinism: like assign_global_seq, the
+    result depends only on the total order, never on range-boundary
+    placement."""
     spark = df.sparkSession
     all_order = list(group_cols) + list(order_cols)
     ranked = (df.repartitionByRange(*[F.col(c) for c in all_order])
@@ -147,6 +151,13 @@ def assign_group_cumsum(df: DataFrame, group_cols: List[str],
         carry_key, carry_sum = None, 0
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
+            for c in list(group_cols) + [value_col]:
+                if pdf[c].isna().any():
+                    raise ValueError(
+                        f"assign_group_cumsum: NULL in column {c!r} — "
+                        "group and value columns must be non-null "
+                        "(nulls would be silently dropped by the "
+                        "groupby/offsets join)")
             cs = (pdf[value_col].astype("int64")
                   .groupby([pdf[c] for c in group_cols]).cumsum()
                   .to_numpy())
@@ -169,7 +180,11 @@ def assign_group_cumsum(df: DataFrame, group_cols: List[str],
             yield pdf
 
     ranked = ranked.mapInPandas(local_cumsum, out_schema)
-    PLAN_PROBE["group_cumsum"] = ranked
+    # keyed by signature, not a shared name: two operators in one
+    # audit run must not overwrite each other's probe (the audit
+    # would silently check the wrong plan)
+    probe_key = f"group_cumsum:{','.join(group_cols)}->{out_col}"
+    PLAN_PROBE[probe_key] = ranked
     ranked = ranked.localCheckpoint(eager=True)
 
     rows = (ranked.groupBy("_pid", *group_cols)

@@ -60,18 +60,23 @@ def decontaminate(documents: DataFrame, eval_mod: int = 97,
     doc's own distinct-shingle count, and the overlap fraction.
 
     Scale: eval shingles are benchmark-bounded -> broadcast; the
-    training side is one distinct-shingle projection, a broadcast
-    semi-join, and a per-doc partial agg. Nothing corpus-sized
-    shuffles on a string key.
+    training side is ONE pass — distinct-shingle projection, a
+    broadcast LEFT join marking eval hits, then a single per-doc
+    partial agg counting both total and hit shingles (an inner
+    semi-join plus a separate sizes aggregation would re-run the
+    corpus tokenize+distinct subtree twice). Nothing corpus-sized
+    shuffles more than once.
     """
     sh = _shingles(documents, k).select("doc_id", "shingle").distinct()
     ev = (sh.filter(F.col("doc_id") % eval_mod == 0)
-          .select("shingle").distinct())
+          .select("shingle").distinct()
+          .withColumn("_hit", F.lit(1)))
     tr = sh.filter(F.col("doc_id") % eval_mod != 0)
-    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    overlap = (tr.join(F.broadcast(ev), "shingle")
-               .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
-    return (overlap.join(sizes, "doc_id")
+    agg = (tr.join(F.broadcast(ev), "shingle", "left")
+           .groupBy("doc_id").agg(
+               F.count("*").alias("n_shingles"),
+               F.count("_hit").alias("n_overlap")))
+    return (agg.filter(F.col("n_overlap") > 0)
             .select("doc_id", "n_overlap", "n_shingles",
                     F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
                     .alias("contam_frac"))
@@ -185,23 +190,32 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     byte-identical. Docs with fewer than two tokens have no bigrams
     and are excluded (nothing to measure).
 
-    Scale: the bigram window partitions by doc_id (bounded groups),
-    and both groupBys get map-side partial aggregation; ratios are
-    computed post-agg on per-doc rows.
+    Scale: ONE corpus pass. The tokenized corpus is exchanged on
+    doc_id exactly once (the explicit repartition below); the bigram
+    window, both bigram groupBys, the token-stats groupBy, and the
+    final join all run on that partitioning without further shuffles
+    (hashpartitioning(doc_id) satisfies every downstream clustering),
+    and the second branch picks the exchange up as a ReusedExchange
+    instead of re-scanning — both asserted by tools/explain_audit.py.
+    Both branches consume the identical (doc_id, w, pos) projection —
+    n_tok is max(pos), exact because positions are 1..d per doc, and
+    chosen over count(*) precisely so column pruning cannot
+    specialize the two exchange copies apart (count gets rewritten
+    and pos pruned, which kills the reuse).
     """
-    tok = _tokens(documents)
+    tok = _tokens(documents).repartition("doc_id")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (tok.select("doc_id",
+    big = (tok.select("doc_id", "pos",
                       F.concat_ws(" ", F.col("w"),
                                   F.lead("w", 1).over(w)).alias("bigram"),
                       F.lead("w", 1).over(w).alias("_guard"))
-           .filter(F.col("_guard").isNotNull()).drop("_guard"))
+           .filter(F.col("_guard").isNotNull()))
     per_big = big.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
     per_doc = per_big.groupBy("doc_id").agg(
         F.max("c").alias("top_bigram_n"),
         F.sum("c").alias("n_bigrams"))
     toks = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
+        F.max("pos").cast("long").alias("n_tok"),
         F.countDistinct("w").alias("n_dist"))
     return (per_doc.join(toks, "doc_id")
             .select("doc_id",

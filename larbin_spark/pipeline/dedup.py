@@ -30,15 +30,20 @@ def _tokens(documents: DataFrame) -> DataFrame:
 
 def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """k-word shingles via lead() windows (positions are 1-based to
-    match DuckDB generate_subscripts)."""
+    match DuckDB generate_subscripts). The guard is the last word of
+    the shingle: where lead(k-1) runs off the document the shingle is
+    incomplete and the row is dropped, so a d-token doc yields
+    max(0, d-k+1) shingles."""
+    if k < 1:
+        raise ValueError(f"_shingles: k must be >= 1, got {k}")
     tok = _tokens(documents)
     w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
+    guard = parts[-1]
     sh = tok.select(
         "doc_id", "pos",
-        F.concat_ws(" ", F.col("w"),
-                    F.lead("w", 1).over(w),
-                    F.lead("w", 2).over(w)).alias("shingle"),
-        F.lead("w", 2).over(w).alias("_guard"))
+        F.concat_ws(" ", *parts).alias("shingle"),
+        guard.alias("_guard"))
     return sh.filter(F.col("_guard").isNotNull()).drop("_guard")
 
 

@@ -76,7 +76,6 @@ def test_pack_sequences_offsets_and_spans(spark):
     # stream: doc1 [0,3) doc2 [3,8) doc3 [8,10); seq_len=7 cuts at 7
     rows = [(1, "a b c", "s"), (2, "d e f g h", "s"), (3, "i j", "s")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    from larbin_spark.pipeline import curation
     out = {r["doc_id"]: r.asDict()
            for r in curation.pack_sequences(df, 7).collect()}
     assert out[1] == {"doc_id": 1, "n_tokens": 3, "begin_off": 0,
@@ -92,7 +91,6 @@ def test_pack_sequences_offsets_and_spans(spark):
 def test_pack_sequences_long_doc_spans_many(spark):
     rows = [(1, " ".join(["w"] * 20), "s")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    from larbin_spark.pipeline import curation
     out = curation.pack_sequences(df, 7).collect()[0]
     assert (out["begin_off"], out["seq_id"], out["n_seqs"]) == (0, 0, 3)
 
@@ -104,9 +102,36 @@ def test_budget_pack_greedy_by_quality(spark):
     lo = " ".join(["zz"] * 10)                        # 10 tok, no stopwords
     rows = [(1, hi, "src1"), (2, lo, "src1"), (3, lo, "src2")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    from larbin_spark.pipeline import curation
     out = {r["doc_id"]: r.asDict()
            for r in curation.budget_pack(df, 55).collect()}
     assert set(out) == {1, 3}
     assert out[1]["cum_tokens"] == 50
     assert out[3]["cum_tokens"] == 10
+
+def test_decontaminate_k_is_honored(spark):
+    # with k=4 the only shared window is the full 4-gram of doc 0;
+    # doc 1 shares 3 words but never 4 in a row -> clean at k=4,
+    # flagged at k=3 (the regression: _shingles used to hardcode 3)
+    rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (1, "zz alpha beta gamma yy", "en"),
+        (97, "p alpha beta gamma delta q", "en"),   # eval side too
+        (5, "x alpha beta gamma delta y", "en"),    # shares the 4-gram
+    ]
+    df = _docs(spark, rows)
+    at3 = {r["doc_id"] for r in curation.decontaminate(df, k=3).collect()}
+    at4 = {r["doc_id"] for r in curation.decontaminate(df, k=4).collect()}
+    assert at3 == {1, 5}
+    assert at4 == {5}
+
+
+def test_group_cumsum_nulls_fail_loud(spark):
+    from larbin_spark.operators.sequence import assign_group_cumsum
+    import pyspark
+    df = spark.createDataFrame(
+        [("a", 1, 5), (None, 2, 5)], "grp string, ord long, v long")
+    try:
+        assign_group_cumsum(df, ["grp"], ["ord"], "v", "cum").collect()
+        raise AssertionError("expected the NULL-group guard to raise")
+    except pyspark.errors.exceptions.captured.PythonException as e:
+        assert "NULL in column 'grp'" in str(e)

@@ -149,8 +149,14 @@ CHECKS = {
          lambda p: all(w.startswith("windowspecdefinition(doc_id")
                        for w in re.findall(
                            r"windowspecdefinition\([^)]*\)", p))),
-        ("partial aggregation (map-side combine)",
-         lambda p: "partial_count" in p or "partial_max" in p),
+        ("ONE corpus pass: the tokenized corpus is scanned once and "
+         "its doc_id exchange reused by the second branch",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and re.search(r"\(\d+\) ReusedExchange", p)),
+        ("single corpus shuffle: every agg/join downstream runs on "
+         "the one doc_id partitioning (the only other exchange is "
+         "the presentation sort)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
 }
@@ -317,8 +323,8 @@ CRAWL_CHECKS = {
 # operators.sequence.PLAN_PROBE by the operator itself) to the
 # audited text, so predicates can see inside the checkpoint barrier.
 PRE_CHECKPOINT_PROBES = {
-    "curation_budget_pack": "group_cumsum",
-    "curation_pack_sequences": "group_cumsum",
+    "curation_budget_pack": "group_cumsum:source->cum_tokens",
+    "curation_pack_sequences": "group_cumsum:_stream->_end",
 }
 
 
