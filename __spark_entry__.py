@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pack_sequences(spark, sf):
         return curation.pack_sequences(_t(spark, sf, "documents"), 512)
 
+    def q_curate_mix(spark, sf):
+        return curation.curate_mix(_t(spark, sf, "documents"), 20000)
+
     return {
         "crawl_sequencer_cap": q_sequencer,
         "crawl_politeness_heads": q_politeness,
@@ -258,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_repetition": q_repetition,
         "curation_budget_pack": q_budget_pack,
         "curation_pack_sequences": q_pack_sequences,
+        "curation_pipeline": q_curate_mix,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -726,6 +730,55 @@ WITH q AS (
                                     len(string_split(text, ' '))) * 5) * 0.5
                  END, 4) * 10000 + 0.5) AS BIGINT) AS q_e4
   FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY q_e4 DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM q)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""",
+        # the composed pipeline: dedup -> holdout/decontaminate ->
+        # repetition gate -> per-source budget pack (same fragments
+        # as the standalone oracles, chained)
+        "curation_pipeline": f"""
+WITH {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle)
+           WHERE sh.doc_id % 97 <> 0),
+keep0 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+big0 AS (
+  SELECT doc_id,
+         concat_ws(' ', w, lead(w,1) OVER win) AS bigram,
+         lead(w,1) OVER win AS guard
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+big AS (SELECT doc_id, bigram FROM big0 WHERE guard IS NOT NULL),
+per_big AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_big
+            FROM per_big GROUP BY doc_id),
+toks AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_dist
+         FROM tok GROUP BY doc_id),
+rep_ok AS (SELECT per_doc.doc_id
+           FROM per_doc JOIN toks USING (doc_id)
+           WHERE round(top_n / n_big, 6) <= 0.5
+             AND round(1 - n_dist / n_tok, 6) <= 0.5),
+base AS (SELECT d.doc_id, d.source, d.text
+         FROM documents d
+         JOIN keep0 USING (doc_id)
+         JOIN rep_ok USING (doc_id)
+         LEFT JOIN contam USING (doc_id)
+         WHERE d.doc_id % 97 <> 0 AND contam.doc_id IS NULL),
+q AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor(
+           round(CASE WHEN len(string_split(text, ' ')) < 5 THEN 0.0
+                 ELSE least(1.0, len(string_split(text, ' ')) / 200.0) * 0.5
+                      + least(1.0, (({stop_en}) /
+                                    len(string_split(text, ' '))) * 5) * 0.5
+                 END, 4) * 10000 + 0.5) AS BIGINT) AS q_e4
+  FROM base),
 c AS (
   SELECT doc_id, source, n_tokens,
          CAST(sum(n_tokens) OVER (PARTITION BY source

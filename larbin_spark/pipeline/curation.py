@@ -181,6 +181,38 @@ def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def curate_mix(documents: DataFrame, budget_tokens: int = 20000,
+               eval_mod: int = 97, max_rep: float = 0.5) -> DataFrame:
+    """The end-to-end training-mix pipeline, composed from the
+    operators above: exact dedup (keep the smallest doc_id per text
+    digest) -> drop the eval holdout and every doc it contaminates
+    (3-gram overlap) -> drop repetition-degenerate docs
+    (top_bigram_frac or dup_token_frac above max_rep; docs with
+    fewer than two tokens have no bigram stats and are dropped with
+    them) -> pack the survivors per source to budget_tokens by
+    quality. Output = budget_pack's (doc_id, source, n_tokens,
+    cum_tokens).
+
+    Scale: each stage is the already-audited operator plan (banded /
+    broadcast / two-phase cumsum — docs/SCALE.md §8); the composition
+    adds only doc_id equi-joins, where the id lists (dedup keepers,
+    contaminated, repetition-ok) are per-doc aggregates, never
+    row-multiplying."""
+    from .dedup import exact_dedup
+    keep_ids = exact_dedup(documents).select(
+        F.col("keep_id").alias("doc_id"))
+    base = (documents.join(keep_ids, "doc_id")
+            .filter(F.col("doc_id") % eval_mod != 0))
+    contaminated = decontaminate(documents, eval_mod).select("doc_id")
+    base = base.join(contaminated, "doc_id", "left_anti")
+    rep_ok = (repetition_stats(documents)
+              .filter((F.col("top_bigram_frac") <= max_rep)
+                      & (F.col("dup_token_frac") <= max_rep))
+              .select("doc_id"))
+    base = base.join(rep_ok, "doc_id")
+    return budget_pack(base, budget_tokens)
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher-rules family):
     per document, the fraction of all word-bigrams taken by the

@@ -135,3 +135,34 @@ def test_group_cumsum_nulls_fail_loud(spark):
         raise AssertionError("expected the NULL-group guard to raise")
     except pyspark.errors.exceptions.captured.PythonException as e:
         assert "NULL in column 'grp'" in str(e)
+
+def test_curate_mix_every_gate(spark):
+    clean = "the quick brown fox jumps over one lazy dog today"  # 10 tok
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "s1"),   # eval doc (0 % 97)
+        (1, clean, "s1"),                              # kept
+        (2, clean, "s1"),                              # exact dup of 1 -> dropped
+        (3, "zz alpha beta gamma yy qq ww", "s1"),     # contaminated -> dropped
+        (4, "spam spam spam spam spam spam", "s1"),    # degenerate -> dropped
+        (5, "many different words make a decent doc here", "s2"),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.curate_mix(df, budget_tokens=100).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["n_tokens"] == 10 and out[1]["cum_tokens"] == 10
+    assert out[5]["source"] == "s2"
+
+
+def test_curate_mix_budget_still_cuts(spark):
+    # two clean docs in one source; tiny budget keeps only the better
+    # hi: 50 tokens, every other one a stopword, rest unique -> high
+    # quality but dup_token_frac 0.4 (passes the repetition gate)
+    stops = ["the", "and", "of", "to", "in"]
+    hi = " ".join(f"{stops[i % 5]} u{i}" for i in range(25))
+    lo = "just some plain words without common stopwords visible"
+    rows = [(1, hi, "s"), (2, lo, "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ids = {r["doc_id"] for r in
+           curation.curate_mix(df, budget_tokens=55).collect()}
+    assert ids == {1}
