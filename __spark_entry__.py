@@ -227,6 +227,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_curate_mix(spark, sf):
         return curation.curate_mix(_t(spark, sf, "documents"), 20000)
 
+    def q_pii(spark, sf):
+        # the synthetic corpus has no natural PII, so both engines
+        # inject the same deterministic PII (presence varies by
+        # doc_id mod) and the oracle checks counts + the md5 of the
+        # fully scrubbed text on every row
+        did = F.col("doc_id")
+        aug = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(did % 3 == 0,
+                       F.concat(F.lit(" contact user"),
+                                did.cast("string"),
+                                F.lit("@example.com")))
+                 .otherwise(F.lit(" no contact")),
+                F.when(did % 5 == 0,
+                       F.concat(F.lit(" ip 10."),
+                                (did % 256).cast("string"),
+                                F.lit(".0.7")))
+                 .otherwise(F.lit("")),
+                F.when(did % 7 == 0,
+                       F.concat(F.lit(" tel 5550"),
+                                (did % 9000 + 100000).cast("string")))
+                 .otherwise(F.lit(" tel none")),
+            ).alias("text"))
+        return (curation.pii_scrub(aug)
+                .select("doc_id", "n_email", "n_ipv4", "n_phone",
+                        F.md5(F.encode(F.col("text_scrubbed"), "utf-8"))
+                         .alias("scrub_md5"))
+                .orderBy("doc_id"))
+
     return {
         "crawl_sequencer_cap": q_sequencer,
         "crawl_politeness_heads": q_politeness,
@@ -262,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_budget_pack": q_budget_pack,
         "curation_pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curate_mix,
+        "curation_pii_scrub": q_pii,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -344,8 +376,11 @@ def oracle_sql() -> dict[str, str]:
            "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
            "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))")
 
-    from larbin_spark.pipeline.curation import STRATA_RATES_PER_MILLE
+    from larbin_spark.pipeline.curation import (PII_PATTERNS,
+                                                STRATA_RATES_PER_MILLE)
     from larbin_spark.pipeline.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    _PII = dict(PII_PATTERNS)
 
     # md5_60 digit-sum over a precomputed hex column `hx` (same
     # 15-hex-char construction as _HB_DIGITS, but over a CTE column
@@ -788,6 +823,37 @@ c AS (
   FROM q)
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""",
+        # same deterministic PII injection as the Spark side; the
+        # patterns are the shared curation.PII_PATTERNS literals
+        # (Java and RE2 agree on this regex subset). Counts over the
+        # original text; replacement email -> ipv4 -> phone.
+        "curation_pii_scrub": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com'
+                 ELSE ' no contact' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' tel 5550' || CAST(doc_id % 9000 + 100000 AS VARCHAR)
+                 ELSE ' tel none' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII["email"]}')) AS INT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII["ipv4"]}')) AS INT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_PII["phone"]}')) AS INT)
+         AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII["email"]}', '<EMAIL>', 'g'),
+           '{_PII["ipv4"]}', '<IPV4>', 'g'),
+           '{_PII["phone"]}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug ORDER BY doc_id""",
         "curation_pack_sequences": """
 WITH t AS (
   SELECT doc_id,

@@ -213,6 +213,46 @@ def curate_mix(documents: DataFrame, budget_tokens: int = 20000,
     return budget_pack(base, budget_tokens)
 
 
+# PII patterns shared with the DuckDB oracle. Restricted to the
+# regex subset where Java (Spark) and RE2 (DuckDB) agree exactly:
+# ASCII \d/\b, non-capturing groups, greedy quantifiers, char
+# classes with only literal '-' at the end. Order matters: emails
+# are scrubbed before IPs before phones so digit runs inside an
+# already-redacted span are not double-counted in the output text
+# (the n_* counts are each taken over the ORIGINAL text, so they
+# are category-independent and order-free).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    # 8-15 digits with optional single space/hyphen separators; no
+    # leading '+' (a \b cannot sit between whitespace and '+', and
+    # engine-portable lookbehind is not worth the parity risk)
+    ("phone", r"\b\d(?:[ -]?\d){7,14}\b"),
+)
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction over a text column: count and replace emails,
+    IPv4 addresses, and long digit runs (phone-shaped) with
+    `<EMAIL>` / `<IPV4>` / `<PHONE>` placeholders. Adds `n_email`,
+    `n_ipv4`, `n_phone` (match counts over the original text) and
+    `text_scrubbed` (all three replaced, in PII_PATTERNS order).
+
+    Scale: pure JVM `regexp_count` / `regexp_replace` column
+    expressions — whole-stage codegen, no shuffle, no Python, no
+    state; a stateless row map that pushes down past nothing and
+    costs one corpus pass fused with whatever runs around it. The
+    reference has no PII stage (it archives raw pages); this is the
+    training-data leg of the pipeline (SURVEY.md §8.2)."""
+    out = documents
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("text_scrubbed", scrubbed)
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher-rules family):
     per document, the fraction of all word-bigrams taken by the

@@ -154,6 +154,49 @@ def test_curate_mix_every_gate(spark):
     assert out[5]["source"] == "s2"
 
 
+def test_pii_scrub_semantics(spark):
+    rows = [
+        (1, "mail a.b-c_d%e+f@sub.example.org now"),
+        (2, "server at 192.168.0.1 and 999.999.999.999 edge"),
+        (3, "call 555 0123 4567 or 5550123456789012345 toolong"),
+        (4, "clean text with no pii at all"),
+        (5, "overlap 12.34.56.78 phone 12 34 56 78 90"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1
+    assert out[1]["text_scrubbed"] == "mail <EMAIL> now"
+    # the ipv4 pattern is shape-only (no range validation): both
+    # dotted quads count, matching the oracle regex exactly
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_scrubbed"] == "server at <IPV4> and <IPV4> edge"
+    # 11 digits with single-space separators match; the 19-digit run
+    # exceeds the 15-digit cap and (having no interior word
+    # boundary) matches nowhere
+    assert out[3]["n_phone"] == 1
+    assert out[3]["text_scrubbed"] == "call <PHONE> or 5550123456789012345 toolong"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    assert out[4]["text_scrubbed"] == rows[3][1]
+    # dots break phone runs, so the ip and the phone don't collide
+    assert (out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1)
+    assert out[5]["text_scrubbed"] == "overlap <IPV4> phone <PHONE>"
+
+
+def test_pii_scrub_counts_are_order_free(spark):
+    # counts are over the ORIGINAL text per category, while the
+    # replacement is sequential email -> ipv4 -> phone: the digit
+    # run inside the email counts as a phone (space before, '@'
+    # after are both boundaries) but is already redacted by the
+    # email pass in the scrubbed text
+    df = spark.createDataFrame(
+        [(1, "call 12345678 or mail 12345678@example.com")],
+        "doc_id long, text string")
+    r = curation.pii_scrub(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 2
+    assert r["text_scrubbed"] == "call <PHONE> or mail <EMAIL>"
+
+
 def test_curate_mix_budget_still_cuts(spark):
     # two clean docs in one source; tiny budget keeps only the better
     # hi: 50 tokens, every other one a stopword, rest unique -> high

@@ -144,6 +144,35 @@ CHECKS = {
          "row-at-a-time Python",
          lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
     ],
+    "curation_pii_scrub": [
+        ("pure JVM regexp_count/regexp_replace (no Python at all)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "codegen id" in p),
+        ("stateless row map: zero hash-partition shuffles (the only "
+         "exchange is the presentation sort)",
+         lambda p: _n_hash_exchanges(p) == 0),
+    ],
+    # the composed pipeline: every stage's own audit above still
+    # applies; here we assert the COMPOSITION added no scale hazards
+    # (the id-list joins are per-doc aggregates, so nothing
+    # row-multiplying or corpus-broadcasting appears).
+    "curation_pipeline": [
+        ("no cartesian product / nested-loop join anywhere in the "
+         "composed plan",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("eval-shingle set still broadcast inside the composition",
+         lambda p: "BroadcastHashJoin" in p),
+        ("contamination drop is an anti-join on doc_id",
+         lambda p: "LeftAnti" in p),
+        ("no per-source window leaked back in (budget_pack stage "
+         "stays two-phase)",
+         lambda p: not any(
+             w.startswith("windowspecdefinition(source")
+             for w in re.findall(r"windowspecdefinition\([^)]*\)", p))),
+        ("Python confined to Arrow stages",
+         lambda p: "BatchEvalPython" not in p),
+    ],
     "curation_repetition": [
         ("all windows partition by doc_id (bounded groups)",
          lambda p: all(w.startswith("windowspecdefinition(doc_id")
@@ -325,6 +354,7 @@ CRAWL_CHECKS = {
 PRE_CHECKPOINT_PROBES = {
     "curation_budget_pack": "group_cumsum:source->cum_tokens",
     "curation_pack_sequences": "group_cumsum:_stream->_end",
+    "curation_pipeline": "group_cumsum:source->cum_tokens",
 }
 
 
