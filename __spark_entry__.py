@@ -227,6 +227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_curate_mix(spark, sf):
         return curation.curate_mix(_t(spark, sf, "documents"), 20000)
 
+    def q_training_shuffle(spark, sf):
+        return (curation.training_shuffle(
+            _t(spark, sf, "documents").select("doc_id"), "epoch0")
+            .select("doc_id", "shuffle_pos").orderBy("doc_id"))
+
+    def q_quantize(spark, sf):
+        return ann.quantize_embeddings(_t(spark, sf, "embeddings"), 127)
+
     def q_pii(spark, sf):
         # the synthetic corpus has no natural PII, so both engines
         # inject the same deterministic PII (presence varies by
@@ -294,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curate_mix,
         "curation_pii_scrub": q_pii,
+        "curation_training_shuffle": q_training_shuffle,
+        "ann_quantize": q_quantize,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -823,6 +833,33 @@ c AS (
   FROM q)
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""",
+        # shuffle_pos = global rank under md5('epoch0:' || id); the
+        # Spark side computes the identical rank with the two-phase
+        # distributed scheme instead of one global window
+        "curation_training_shuffle": """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+         - 1 AS BIGINT) AS shuffle_pos
+FROM documents ORDER BY doc_id""",
+        # per-vector symmetric quantization to 127 levels; every
+        # aggregate is integer-ized per element before the sum so the
+        # comparison is exact (no FP fold-order divergence)
+        "ann_quantize": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+m AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS ma FROM v)
+SELECT vec_id,
+  CAST(len(e) AS INT) AS n_dims,
+  CAST(floor(ma * 1000000000.0 + 0.5) AS BIGINT) AS maxabs_e9,
+  CAST(CASE WHEN ma = 0 THEN 0 ELSE list_sum(list_transform(e,
+    x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))) END AS BIGINT)
+    AS qsum,
+  CAST(CASE WHEN ma = 0 THEN 0 ELSE list_sum(list_transform(e,
+    x -> CAST(floor(abs(x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)
+              * 1000000000.0 + 0.5) AS BIGINT))) END AS BIGINT)
+    AS err_e9_sum
+FROM m ORDER BY vec_id""",
         # same deterministic PII injection as the Spark side; the
         # patterns are the shared curation.PII_PATTERNS literals
         # (Java and RE2 agree on this regex subset). Counts over the

@@ -85,6 +85,7 @@ def assign_global_seq(df: DataFrame, order_cols: List[str],
             yield pdf
 
     ranked = ranked.mapInPandas(local_rank, out_schema)
+    PLAN_PROBE[f"global_seq:{','.join(order_cols)}->{out_col}"] = ranked
     ranked = ranked.localCheckpoint(eager=True)
 
     by = list(counts_by or [])

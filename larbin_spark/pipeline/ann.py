@@ -190,3 +190,46 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
             .select("query_id", F.col("rank").cast("int").alias("rank"),
                     "neighbor_id", "cos")
             .orderBy("query_id", "rank"))
+
+
+def quantize_embeddings(embeddings: DataFrame, levels: int = 127,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8-style per-vector quantization (the storage
+    path an ANN index at 100 TB actually serves from): each vector
+    is scaled by its own max-|x| to `levels` integer steps. Returns
+    per vector: dimension count, the scale (maxabs, e9-integerized),
+    the quantized-component sum, and the total absolute
+    reconstruction error (e9-integerized per element BEFORE summing,
+    so the aggregate is an order-free integer sum — exact on both
+    engines regardless of fold order).
+
+    Scale: pure JVM higher-order array functions (transform /
+    aggregate) in whole-stage codegen — one pass, no shuffle, no
+    Python; pairs with ann.py's LSH/IVF candidate generation as the
+    compressed storage tier."""
+    lv = F.lit(float(levels))
+    v = F.col(vec_col).cast("array<double>")
+    out = embeddings.select(F.col(id_col), v.alias("_v"))
+    ma = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    out = out.withColumn("_ma", ma)
+    mac = F.col("_ma")
+    zero = F.lit(0).cast("long")
+    qsum = F.when(mac == 0, zero).otherwise(F.aggregate(
+        F.transform(F.col("_v"),
+                    lambda x: F.floor(x * lv / mac + 0.5).cast("long")),
+        zero, lambda a, x: a + x))
+    err = F.when(mac == 0, zero).otherwise(F.aggregate(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(
+                F.abs(x - F.floor(x * lv / mac + 0.5) * mac / lv)
+                * 1_000_000_000.0 + 0.5).cast("long")),
+        zero, lambda a, x: a + x))
+    return (out.select(
+        F.col(id_col),
+        F.size(F.col("_v")).cast("int").alias("n_dims"),
+        F.floor(mac * 1_000_000_000.0 + 0.5).cast("long").alias("maxabs_e9"),
+        qsum.alias("qsum"),
+        err.alias("err_e9_sum"))
+        .orderBy(id_col))

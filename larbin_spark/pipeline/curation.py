@@ -253,6 +253,32 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("text_scrubbed", scrubbed)
 
 
+def training_shuffle(documents: DataFrame, salt: str = "epoch0",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets `shuffle_pos` = its global rank under the keyed hash
+    md5(salt || ':' || id). A new salt (epoch tag) produces an
+    independent permutation, so per-epoch reshuffles are pure
+    recomputation — no stored permutation table, identical on every
+    topology.
+
+    Scale: the rank comes from the two-phase distributed scheme
+    (operators/sequence.py) — a range shuffle on the hash key (md5
+    output is uniform, so range partitions balance by construction),
+    one local Arrow pass, broadcast per-partition offsets. No global
+    window, no single-task funnel; this is the shuffle step a
+    dataloader consumes, at any corpus size. The id tie-break keeps
+    the order total even under (astronomically unlikely) md5
+    collisions."""
+    from ..operators.sequence import assign_global_seq
+    keyed = documents.withColumn(
+        "_shuf_key",
+        F.md5(F.encode(F.concat(F.lit(salt), F.lit(":"),
+                                F.col(id_col).cast("string")), "utf-8")))
+    return (assign_global_seq(keyed, ["_shuf_key", id_col], "shuffle_pos")
+            .drop("_shuf_key"))
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher-rules family):
     per document, the fraction of all word-bigrams taken by the

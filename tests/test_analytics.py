@@ -238,3 +238,23 @@ GROUP BY b.res, b.bucket ORDER BY res, bucket""").fetchall()
     assert got == [tuple(w) for w in want]
     # the pre-1970 seconds really are negative and really bucketed
     assert any(b < 0 for _res, b, _n in got)
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    from larbin_spark.pipeline.ann import quantize_embeddings
+    rows = [
+        (1, [0.5, -1.0, 0.25]),   # exact at levels=4: zero error
+        (2, [0.3, 1.0]),          # q=[1,2], |0.3-0.5| -> 2e8
+        (3, [0.0, 0.0]),          # zero vector: guarded, all zero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict()
+           for r in quantize_embeddings(df, levels=4).collect()}
+    assert out[1] == {"vec_id": 1, "n_dims": 3, "maxabs_e9": 1_000_000_000,
+                      "qsum": 2 - 4 + 1, "err_e9_sum": 0}
+    out2 = {r["vec_id"]: r.asDict()
+            for r in quantize_embeddings(df, levels=2).collect()}
+    assert out2[2]["qsum"] == 1 + 2
+    assert out2[2]["err_e9_sum"] == 200_000_000
+    assert out2[3] == {"vec_id": 3, "n_dims": 2, "maxabs_e9": 0,
+                       "qsum": 0, "err_e9_sum": 0}

@@ -209,3 +209,21 @@ def test_curate_mix_budget_still_cuts(spark):
     ids = {r["doc_id"] for r in
            curation.curate_mix(df, budget_tokens=55).collect()}
     assert ids == {1}
+
+
+def test_training_shuffle_is_the_md5_permutation(spark):
+    import hashlib
+    n = 40
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r["doc_id"]: r["shuffle_pos"]
+           for r in curation.training_shuffle(df, "epochX").collect()}
+    order = sorted(range(n), key=lambda i: (
+        hashlib.md5(f"epochX:{i}".encode()).hexdigest(), i))
+    want = {doc: pos for pos, doc in enumerate(order)}
+    assert got == want
+    # a different salt is an independent permutation (and still a
+    # complete one)
+    got2 = {r["doc_id"]: r["shuffle_pos"]
+            for r in curation.training_shuffle(df, "epochY").collect()}
+    assert sorted(got2.values()) == list(range(n))
+    assert got2 != got

@@ -144,6 +144,27 @@ CHECKS = {
          "row-at-a-time Python",
          lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
     ],
+    "curation_training_shuffle": [
+        ("no global window: the permutation rank is the two-phase "
+         "scheme, never row_number() OVER (ORDER BY hash) (whole "
+         "corpus through one task)",
+         lambda p: "windowspecdefinition" not in p),
+        ("range shuffle on the (uniform) hash key",
+         lambda p: "rangepartitioning(_shuf_key" in p),
+        ("per-partition offsets joined by broadcast",
+         lambda p: any("_off" in b for b in _broadcast_inputs(p))),
+        ("local rank is one Arrow pass (MapInPandas), no "
+         "row-at-a-time Python",
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+    ],
+    "ann_quantize": [
+        ("pure JVM higher-order array functions (no Python at all)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("stateless row map: zero hash-partition shuffles (the only "
+         "exchange is the presentation sort)",
+         lambda p: _n_hash_exchanges(p) == 0),
+    ],
     "curation_pii_scrub": [
         ("pure JVM regexp_count/regexp_replace (no Python at all)",
          lambda p: "ArrowEvalPython" not in p
@@ -355,6 +376,7 @@ PRE_CHECKPOINT_PROBES = {
     "curation_budget_pack": "group_cumsum:source->cum_tokens",
     "curation_pack_sequences": "group_cumsum:_stream->_end",
     "curation_pipeline": "group_cumsum:source->cum_tokens",
+    "curation_training_shuffle": "global_seq:_shuf_key,doc_id->shuffle_pos",
 }
 
 
