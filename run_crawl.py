@@ -10,7 +10,14 @@ Packaging + launch (tools/submit.sh wraps this):
         --rounds 8 --snapshot-dir /path/to/snapshots [--resume]
 
 The driver config (executors, memory, shuffle partitions) comes from
-spark-submit/--conf as usual; this script only declares the job. With
+spark-submit/--conf as usual; this script only declares the job.
+One sizing note: in local[*] the "driver" JVM IS every executor
+(and in local-cluster it still hosts all broadcasts), so size
+--driver-memory with the round volume there — million-page rounds
+OOM at spark-submit's 1g default; the volume-ladder benches ran
+12g (tools/submit.sh defaults to 4g, override with DRIVER_MEMORY).
+On a real cluster the driver-side work proper is bounded (counts +
+the snapshot manifest — no collects in the commit path). With
 --fixture-dir pointing at a synthetic-web directory (documents/hosts/
 robots parquet — see larbin_spark/fixtures/webgen.py) the fetch stage
 is the simulated-network join; on a real crawl those dims are the
