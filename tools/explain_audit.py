@@ -369,14 +369,18 @@ CRAWL_CHECKS = {
 }
 
 # Queries whose operator localCheckpoints an internal stage: the
-# audit appends that stage's pre-checkpoint plan (stored in
+# audit appends those stages' pre-checkpoint plans (stored in
 # operators.sequence.PLAN_PROBE by the operator itself) to the
 # audited text, so predicates can see inside the checkpoint barrier.
 PRE_CHECKPOINT_PROBES = {
-    "curation_budget_pack": "group_cumsum:source->cum_tokens",
-    "curation_pack_sequences": "group_cumsum:_stream->_end",
-    "curation_pipeline": "group_cumsum:source->cum_tokens",
-    "curation_training_shuffle": "global_seq:_shuf_key,doc_id->shuffle_pos",
+    "curation_budget_pack": ["group_cumsum:source->cum_tokens"],
+    "curation_pack_sequences": ["group_cumsum:_stream->_end"],
+    # the composed pipeline cuts at the curated base AND inside the
+    # cumsum; both hidden stages are audited
+    "curation_pipeline": ["curate_mix:base",
+                          "group_cumsum:source->cum_tokens"],
+    "curation_training_shuffle":
+        ["global_seq:_shuf_key,doc_id->shuffle_pos"],
 }
 
 
@@ -469,8 +473,7 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-            probe_key = PRE_CHECKPOINT_PROBES.get(name)
-            if probe_key is not None:
+            for probe_key in PRE_CHECKPOINT_PROBES.get(name, []):
                 from larbin_spark.operators import sequence
                 print(f"-- pre-checkpoint stage (operators.sequence."
                       f"PLAN_PROBE[{probe_key!r}]) --")
