@@ -129,16 +129,15 @@ def budget_pack(documents: DataFrame,
     the sums are engine-exact.
     """
     from ..operators.sequence import assign_group_cumsum
-    from .textstats import quality_score
-    base = documents.select(
+    from .textstats import quality_expr
+    # ONE projection computes tokens + quality — a second
+    # quality-pass joined back on doc_id would double the corpus
+    # scan and add a corpus-sized shuffle for pure row arithmetic
+    scored = documents.select(
         "doc_id", "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
-    q = quality_score(documents).select(
-        "doc_id",
-        F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
-        .alias("q_e4"))
-    scored = (base.join(q, "doc_id")
-              .withColumn("neg_q", -F.col("q_e4")))
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (-F.floor(quality_expr() * 10000 + F.lit(0.5)).cast("long"))
+        .alias("neg_q"))
     packed = assign_group_cumsum(scored, ["source"],
                                  ["neg_q", "doc_id"], "n_tokens",
                                  "cum_tokens")

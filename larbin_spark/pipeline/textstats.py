@@ -54,6 +54,23 @@ def lang_id(documents: DataFrame) -> DataFrame:
         best[1].cast("int").alias("pred_score")).orderBy("doc_id")
 
 
+def quality_expr(text=None):
+    """The composite quality score as a single column expression
+    (rounded to 4 places, engine-exact) — usable inside any
+    projection so consumers (budget_pack) fold it into their one
+    corpus scan instead of joining a second quality pass."""
+    text = F.col("text") if text is None else text
+    n_tokens = F.size(F.split(text, " "))
+    stop_hits = sum((_count_token(text, t)
+                     for t in LANG_STOPWORDS["en"][1:]),
+                    _count_token(text, LANG_STOPWORDS["en"][0]))
+    stop_ratio = stop_hits / n_tokens
+    score = (F.when(n_tokens < 5, 0.0)
+             .otherwise(F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
+                        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5))
+    return F.round(score, 4)
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length / mean-token-length / stopword-ratio quality features
     plus a composite score (the badType/tooBig gating analogue for
@@ -66,15 +83,12 @@ def quality_score(documents: DataFrame) -> DataFrame:
                      for t in LANG_STOPWORDS["en"][1:]),
                     _count_token(text, LANG_STOPWORDS["en"][0]))
     stop_ratio = stop_hits / n_tokens
-    score = (F.when(n_tokens < 5, 0.0)
-             .otherwise(F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
-                        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5))
     return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(mean_tok, 4).alias("mean_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality")).orderBy("doc_id")
+        quality_expr(text).alias("quality")).orderBy("doc_id")
 
 
 def token_counts(documents: DataFrame) -> DataFrame:

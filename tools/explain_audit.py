@@ -132,6 +132,9 @@ CHECKS = {
         ("local cumsum is one Arrow pass (MapInPandas), no "
          "row-at-a-time Python",
          lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ("ONE corpus scan: tokens + quality fold into a single "
+         "projection (no second pass joined back on doc_id)",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
     "curation_pack_sequences": [
         ("no unpartitioned window: the global stream offset is the "
