@@ -37,7 +37,8 @@ HEADLINE = [
     "crawl_dim_join_agg", "crawl_sequencer_cap", "crawl_seen_antijoin",
     "crawl_explode_links", "dedup_exact", "dedup_minhash_lsh",
     "text_quality", "ann_cosine_topk", "curation_decontaminate",
-    "curation_budget_pack",
+    "curation_budget_pack", "curation_pipeline", "curation_pii_scrub",
+    "curation_training_shuffle", "ann_quantize",
 ]
 
 
