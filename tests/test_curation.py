@@ -227,3 +227,40 @@ def test_training_shuffle_is_the_md5_permutation(spark):
             for r in curation.training_shuffle(df, "epochY").collect()}
     assert sorted(got2.values()) == list(range(n))
     assert got2 != got
+
+
+def test_pii_regex_cross_engine_fuzz(spark):
+    """Java (Spark) vs RE2 (DuckDB) agreement on the PII regexes over
+    adversarial strings: digit runs of every length, dotted quads,
+    separators, '@' clusters — the contract corpus has no natural
+    digits, so this pins the engine-portability claim where it could
+    actually break."""
+    import random
+    import duckdb
+    rng = random.Random(42)
+    atoms = ["1", "23", "456", "7890", "12345678", "123456789012345",
+             "1234567890123456", ".", " ", "-", "--", "@", "a", "bc",
+             "x9", "%", "+", "_", "example.com", "a@b.cd", "10.0.0.1",
+             "999.1.2.3", "1.2.3.4.5", "55 66 77 88", "1-2-3-4-5-6-7-8"]
+    texts = ["".join(rng.choice(atoms) for _ in range(rng.randint(1, 12)))
+             for _ in range(300)]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"],
+                         r["text_scrubbed"])
+           for r in curation.pii_scrub(df).collect()}
+    pats = dict(curation.PII_PATTERNS)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS INT),
+               CAST(len(regexp_extract_all(text, '{pats["ipv4"]}')) AS INT),
+               CAST(len(regexp_extract_all(text, '{pats["phone"]}')) AS INT),
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{pats["email"]}', '<EMAIL>', 'g'),
+                   '{pats["ipv4"]}', '<IPV4>', 'g'),
+                   '{pats["phone"]}', '<PHONE>', 'g')
+        FROM t""").fetchall()}
+    assert got == want
