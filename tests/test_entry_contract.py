@@ -80,3 +80,65 @@ def test_multimodal_rows_only(spark):
     rows = df.collect()
     assert len(rows) == 64
     assert all(r["digest"] for r in rows)
+
+
+def test_bare_session_contract_subset():
+    """The driver's session sets NO configs (no arrow flag, no
+    timezone): every query must match its oracle there too. The
+    conftest session sets arrow.pyspark.enabled, which would mask a
+    config-dependence regression (the r3 multimodal red). Runs the
+    queries with non-trivial machinery (localCheckpoint two-phase
+    ops, mapInPandas, the composed pipeline, regex scrub) in a fresh
+    interpreter with a bare session against DuckDB at sf0.001."""
+    import subprocess
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(f"""
+        import sys, math, datetime
+        sys.path.insert(0, {repo!r})
+        import duckdb
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("bare-contract")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        import __spark_entry__ as em
+        SF = {SF_DIR!r}
+        con = duckdb.connect()
+        for t in {TABLES!r}:
+            import os
+            p = f"{{SF}}/{{t}}.parquet"
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{p}}')")
+        def norm(v):
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else round(v, 9)
+            if isinstance(v, datetime.datetime):
+                return v.replace(tzinfo=None).isoformat()
+            return v
+        qs, osql = em.queries(), em.oracle_sql()
+        for name in ["curation_pipeline", "curation_budget_pack",
+                     "curation_pack_sequences",
+                     "curation_training_shuffle",
+                     "curation_pii_scrub", "ann_quantize"]:
+            sdf = qs[name](spark, SF)
+            cols = sorted(sdf.columns)
+            srows = sorted(tuple(norm(r[c]) for c in cols)
+                           for r in sdf.collect())
+            d = con.execute(osql[name])
+            dcols = [x[0] for x in d.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            drows = sorted(tuple(norm(r[i]) for i in order)
+                           for r in d.fetchall())
+            assert srows == drows, (name, srows[:2], drows[:2])
+            print(name, "MATCH", len(srows))
+        print("ALL_OK")
+        spark.stop()
+    """)
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert "ALL_OK" in out.stdout
