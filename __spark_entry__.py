@@ -851,14 +851,17 @@ m AS (SELECT vec_id, e,
              list_max(list_transform(e, x -> abs(x))) AS ma FROM v)
 SELECT vec_id,
   CAST(len(e) AS INT) AS n_dims,
-  CAST(floor(ma * 1000000000.0 + 0.5) AS BIGINT) AS maxabs_e9,
-  CAST(CASE WHEN ma = 0 THEN 0 ELSE list_sum(list_transform(e,
-    x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))) END AS BIGINT)
-    AS qsum,
-  CAST(CASE WHEN ma = 0 THEN 0 ELSE list_sum(list_transform(e,
-    x -> CAST(floor(abs(x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)
-              * 1000000000.0 + 0.5) AS BIGINT))) END AS BIGINT)
-    AS err_e9_sum
+  CAST(floor(coalesce(ma, 0) * 1000000000.0 + 0.5) AS BIGINT)
+    AS maxabs_e9,
+  CAST(CASE WHEN ma IS NULL OR ma = 0 THEN 0
+       ELSE coalesce(list_sum(list_transform(e,
+         x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))), 0)
+       END AS BIGINT) AS qsum,
+  CAST(CASE WHEN ma IS NULL OR ma = 0 THEN 0
+       ELSE coalesce(list_sum(list_transform(e,
+         x -> CAST(floor(abs(x - floor(x * 127.0 / ma + 0.5) * ma
+                   / 127.0) * 1000000000.0 + 0.5) AS BIGINT))), 0)
+       END AS BIGINT) AS err_e9_sum
 FROM m ORDER BY vec_id""",
         # same deterministic PII injection as the Spark side; the
         # patterns are the shared curation.PII_PATTERNS literals

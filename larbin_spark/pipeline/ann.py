@@ -215,21 +215,27 @@ def quantize_embeddings(embeddings: DataFrame, levels: int = 127,
     out = out.withColumn("_ma", ma)
     mac = F.col("_ma")
     zero = F.lit(0).cast("long")
-    qsum = F.when(mac == 0, zero).otherwise(F.aggregate(
+    # degenerate vectors (empty / all-null -> array_max NULL, or
+    # all-zero) quantize to zeros; NULL elements are skipped in the
+    # sums (coalesce in the fold) — both choices mirror DuckDB's
+    # list_sum NULL-skipping so the oracle stays exact on any input
+    degenerate = mac.isNull() | (mac == F.lit(0.0))
+    qsum = F.when(degenerate, zero).otherwise(F.aggregate(
         F.transform(F.col("_v"),
                     lambda x: F.floor(x * lv / mac + 0.5).cast("long")),
-        zero, lambda a, x: a + x))
-    err = F.when(mac == 0, zero).otherwise(F.aggregate(
+        zero, lambda a, x: a + F.coalesce(x, zero)))
+    err = F.when(degenerate, zero).otherwise(F.aggregate(
         F.transform(
             F.col("_v"),
             lambda x: F.floor(
                 F.abs(x - F.floor(x * lv / mac + 0.5) * mac / lv)
                 * 1_000_000_000.0 + 0.5).cast("long")),
-        zero, lambda a, x: a + x))
+        zero, lambda a, x: a + F.coalesce(x, zero)))
     return (out.select(
         F.col(id_col),
         F.size(F.col("_v")).cast("int").alias("n_dims"),
-        F.floor(mac * 1_000_000_000.0 + 0.5).cast("long").alias("maxabs_e9"),
+        F.floor(F.coalesce(mac, F.lit(0.0)) * 1_000_000_000.0 + 0.5)
+        .cast("long").alias("maxabs_e9"),
         qsum.alias("qsum"),
         err.alias("err_e9_sum"))
         .orderBy(id_col))

@@ -258,3 +258,24 @@ def test_quantize_embeddings_hand_computed(spark):
     assert out2[2]["err_e9_sum"] == 200_000_000
     assert out2[3] == {"vec_id": 3, "n_dims": 2, "maxabs_e9": 0,
                        "qsum": 0, "err_e9_sum": 0}
+
+
+def test_quantize_embeddings_degenerate_inputs_match_duckdb(spark):
+    """Empty vectors, all-NULL vectors, and NULL elements: Spark and
+    the DuckDB oracle fragment must agree exactly (array_max -> NULL
+    handled as degenerate; NULL elements skipped in the sums like
+    DuckDB's list_sum)."""
+    import duckdb
+    from larbin_spark.pipeline.ann import quantize_embeddings
+    rows = [(1, []), (2, [None, None]), (3, [0.5, None, -1.0]),
+            (4, [0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in quantize_embeddings(df, 127).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, "
+                "embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    import __spark_entry__ as em
+    want = sorted(tuple(r) for r in
+                  con.execute(em.oracle_sql()["ann_quantize"]).fetchall())
+    assert got == want

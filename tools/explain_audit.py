@@ -98,8 +98,9 @@ CHECKS = {
     ],
     "curation_decontaminate": [
         ("eval-shingle set broadcast (benchmark side is bounded; the "
-         "corpus side streams)",
-         lambda p: "BroadcastHashJoin" in p),
+         "corpus side streams) — the broadcast input must carry the "
+         "shingle column, not just any broadcast somewhere",
+         lambda p: any("shingle" in b for b in _broadcast_inputs(p))),
         ("no cartesian product (overlap keyed on shingle)",
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
@@ -185,8 +186,10 @@ CHECKS = {
          "composed plan",
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
-        ("eval-shingle set still broadcast inside the composition",
-         lambda p: "BroadcastHashJoin" in p),
+        ("eval-shingle set still broadcast inside the composition "
+         "(a broadcast input carrying the shingle column — the "
+         "cumsum's offset broadcast alone must not satisfy this)",
+         lambda p: any("shingle" in b for b in _broadcast_inputs(p))),
         ("contamination drop is an anti-join on doc_id",
          lambda p: "LeftAnti" in p),
         ("no per-source window leaked back in (budget_pack stage "
