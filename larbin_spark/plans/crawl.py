@@ -10,7 +10,47 @@ from pyspark.sql import functions as F
 from ..config import CrawlConfig
 from ..sources.catalog import SnapshotStore
 from .round import RoundRunner
-from .state import CrawlState
+from .state import COMPACT_EVERY, CrawlState
+
+# max rounds between parquet rebases of the in-memory state: the
+# durable snapshot is written asynchronously (see _AsyncCommitter),
+# so between reloads the state tables live as lazy compositions /
+# localCheckpoints; Catalyst size statistics degrade across those
+# layers, and this cap bounds the depth exactly like the
+# snapshot_every <= 16 validation does (plans/round.py phase F).
+RELOAD_ROUNDS = 16
+
+
+class _AsyncCommitter:
+    """Ordered background committer: overlaps the durable snapshot
+    write with the next rounds' compute, the way the reference
+    flushes its persistent fifos off the crawl path
+    (src/utils/persistent_fifo.cxx write-behind rotation). At most
+    one save is in flight; submit() joins the previous one first, so
+    delta chains always compose against a completed predecessor and
+    any save failure surfaces at the next boundary instead of being
+    lost on a daemon thread."""
+
+    def __init__(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+        self._ex = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="snap-commit")
+        self._fut = None
+
+    def submit(self, fn) -> None:
+        self.join()
+        self._fut = self._ex.submit(fn)
+
+    def join(self) -> None:
+        if self._fut is not None:
+            fut, self._fut = self._fut, None
+            fut.result()
+
+    def close(self) -> None:
+        try:
+            self.join()
+        finally:
+            self._ex.shutdown()
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig,
@@ -32,12 +72,19 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
     rounds that did run.
 
     Durable snapshots commit every cfg.snapshot_every round
-    boundaries (default 1 = every round; the state tables round-trip
-    through parquet, which also resets Catalyst size statistics, see
-    plans/round.py phase F) plus a trailing commit at exit, so the
-    returned state is always resumable. Resume picks up the latest
-    committed snapshot exactly. Between commits the hot state tables
-    are localCheckpoint-truncated in memory.
+    boundaries (default 1 = every round) plus a trailing commit at
+    exit, so the returned state is always resumable. Resume picks up
+    the latest COMPLETED snapshot exactly. With cfg.async_commit
+    (default) the save is write-behind: it overlaps the next rounds'
+    compute on an ordered background thread (_AsyncCommitter) and is
+    joined at the next boundary — off the round's critical path, like
+    the reference's persistent-fifo flush. Synchronous boundaries
+    (save + reload, which rebases the state plans on parquet and
+    resets Catalyst size statistics, plans/round.py phase F) still
+    happen at every compaction and at least every RELOAD_ROUNDS
+    rounds. Between them the bounded hot tables are
+    localCheckpoint-truncated in memory and the unbounded ones stay
+    lazy O(delta) compositions (_truncate_bounded).
     """
     import tempfile
     import time
@@ -71,46 +118,131 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
         st = CrawlState.load(spark, store, 0)
 
     committed = rnd
-    while rnd < max_rounds:
-        if cfg.max_rounds and rnd >= cfg.max_rounds:
-            break
-        # entry point B: input-port submission batches land at the
-        # start of their round, before any stop check fires (the
-        # simulator delivers in the same slot)
-        if submissions and rnd in submissions:
-            st = runner.submit(st, submissions[rnd])
-        if cfg.limit_page and st.counters["pages_ok"] >= cfg.limit_page:
-            break
-        if cfg.limit_time_sec and clock() - t_start >= cfg.limit_time_sec:
-            break
-        c = st.counters
-        frontier_size = (c["n_priority"] + c["n_priority_wait"] + c["n_disk"]
-                         + c["n_disk_wait"] + c["n_site_fifo"]
-                         + c["n_ip_queue"])
-        if frontier_size == 0:
-            break
-        st = runner.run_round(st, rnd)
-        rnd += 1
-        if rnd % max(1, cfg.snapshot_every) == 0:
-            st = _commit(spark, st, store, rnd, keep_snapshots)
-            committed = rnd
-        else:
-            # in-memory boundary between durable commits: truncate the
-            # HOT state tables (probed/joined again next round) so the
-            # union/anti-join chains of skipped rounds aren't
-            # recomputed per action; append-only log tables stay lazy
-            # unions of already-checkpointed deltas — nothing reads
-            # them inside the loop, so they cost nothing until the
-            # next durable commit writes them
-            from .round import _lc
-            for name in ("queues", "seen", "dup_seen", "ip_queue",
-                         "buckets"):
-                st.tables[name] = _lc(st.tables[name])
+    last_reload = rnd  # the round whose parquet the state plans read
+    committer = _AsyncCommitter() if cfg.async_commit else None
+    try:
+        while rnd < max_rounds:
+            if cfg.max_rounds and rnd >= cfg.max_rounds:
+                break
+            # entry point B: input-port submission batches land at the
+            # start of their round, before any stop check fires (the
+            # simulator delivers in the same slot)
+            if submissions and rnd in submissions:
+                st = runner.submit(st, submissions[rnd])
+            if cfg.limit_page and st.counters["pages_ok"] >= cfg.limit_page:
+                break
+            if cfg.limit_time_sec and clock() - t_start >= cfg.limit_time_sec:
+                break
+            c = st.counters
+            frontier_size = (c["n_priority"] + c["n_priority_wait"]
+                             + c["n_disk"] + c["n_disk_wait"]
+                             + c["n_site_fifo"] + c["n_ip_queue"])
+            if frontier_size == 0:
+                break
+            st = runner.run_round(st, rnd)
+            rnd += 1
+            if rnd % max(1, cfg.snapshot_every) == 0:
+                if committer is None:
+                    st = _commit(spark, st, store, rnd, keep_snapshots)
+                    last_reload = rnd
+                else:
+                    # join the in-flight save (it had a full commit
+                    # window of rounds to finish, so this is ~free):
+                    # the chain-length inspection below reads a
+                    # quiescent store and the next save composes its
+                    # deltas against a completed predecessor
+                    committer.join()
+                    if (rnd - last_reload >= RELOAD_ROUNDS
+                            or _compaction_due(store)):
+                        # synchronous boundary: a compaction rewrites
+                        # full tables from plans based on the LAST
+                        # reload's files, and the rebase right after
+                        # keeps every in-memory plan on files prune
+                        # cannot expire; the periodic rebase also
+                        # resets Catalyst size statistics (phase F)
+                        st = _commit(spark, st, store, rnd,
+                                     keep_snapshots)
+                        last_reload = rnd
+                    else:
+                        _submit_commit(committer, st, store, rnd,
+                                       keep_snapshots)
+                        _truncate_bounded(st)
+                committed = rnd
+            else:
+                _truncate_bounded(st)
+    except BaseException:
+        if committer is not None:
+            try:
+                committer.close()  # the in-flight snapshot stays
+            except Exception:      # resumable; don't mask the
+                pass               # round's own error with a save's
+        raise
+    if committer is not None:
+        committer.close()
     # trailing rounds since the last boundary become durable at exit,
     # so the returned state is always resumable-from-here
     if committed != rnd:
         st = _commit(spark, st, store, rnd, keep_snapshots)
+    elif last_reload != rnd:
+        # async path: rebase the returned state onto the durable
+        # snapshot — its lazy table plans must not outlive prune's
+        # data-dir expiry once the caller holds it past more commits
+        bitmaps = st.bitmaps
+        st = CrawlState.load(spark, store, rnd)
+        st.bitmaps = bitmaps
     return st
+
+
+def _submit_commit(committer: _AsyncCommitter, st: CrawlState,
+                   store: SnapshotStore, rnd: int,
+                   keep_snapshots: int) -> None:
+    """Hand the boundary state to the background committer. The
+    frozen copy detaches it from the continuing crawl: DataFrames are
+    immutable and run_round rebinds (never mutates) table entries,
+    but counters mutate in place and the deltas dict must transfer
+    ownership — the in-flight save consumes exactly this window's
+    deltas, and the continuing state accumulates the next window's
+    from empty (re-writing them at the next boundary would duplicate
+    rows in the append chains)."""
+    frozen = CrawlState(dict(st.tables), dict(st.counters), st.deltas)
+    st.deltas = {}
+
+    def _save() -> None:
+        frozen.save(store, rnd)
+        store.prune(keep_last=keep_snapshots)
+
+    committer.submit(_save)
+
+
+def _compaction_due(store: SnapshotStore) -> bool:
+    """True when the next save would full-rewrite some table (its
+    delta chain reached COMPACT_EVERY). Those boundaries run
+    synchronously: the rewrite reads the in-memory plans, whose file
+    dependencies date back to the last reload."""
+    prev = store.latest()
+    if prev is None:
+        return True
+    try:
+        tables = store.manifest(prev).get("tables", {})
+    except FileNotFoundError:
+        return True
+    return any(len(chain) >= COMPACT_EVERY for chain in tables.values())
+
+
+def _truncate_bounded(st: CrawlState) -> None:
+    """In-memory boundary between parquet rebases: materialize +
+    lineage-truncate only the BOUNDED hot tables (in-flight budget /
+    politeness buckets). The unbounded tables — queues, seen,
+    dup_seen — stay lazy compositions over the last reload's parquet
+    plus the rounds' already-checkpointed deltas: materializing the
+    frontier or the seen set into memory would be O(state) per round,
+    defeating the O(delta) commit design, while the lazy form costs
+    one pruned base scan plus <= RELOAD_ROUNDS bounded-probe
+    anti-joins/unions per read (and each table is read at most once
+    or twice per round)."""
+    from .round import _lc
+    for name in ("ip_queue", "buckets"):
+        st.tables[name] = _lc(st.tables[name])
 
 
 def _commit(spark: SparkSession, st: CrawlState, store: SnapshotStore,

@@ -104,3 +104,43 @@ def test_snapshot_every_same_results(spark, dims, seeds, tmp_path):
     st_res = run_crawl(spark, cfg, dims, list(seeds), max_rounds=5,
                        store=store, resume=True)
     assert collect_results(st_res)["ordering"] == full["ordering"]
+
+
+def test_async_commit_matches_sync_across_compaction_and_prune(
+        spark, dims, seeds, tmp_path, monkeypatch):
+    """The write-behind commit (cfg.async_commit, the default) changes
+    only WHEN the snapshot write happens, never what the crawl
+    computes or what resume sees. Stress the bookkeeping the overlap
+    relies on: tiny COMPACT_EVERY forces multiple mid-crawl
+    compactions (synchronous boundaries reading plans based on the
+    last reload's files), tiny RELOAD_ROUNDS exercises the periodic
+    parquet rebase, keep_snapshots=2 lets prune expire data dirs while
+    the in-memory lazy plans are still alive, and collect_results at
+    the end reads every table through the exit rebase."""
+    from larbin_spark.plans import crawl as crawlmod
+    from larbin_spark.plans import state as statemod
+    monkeypatch.setattr(crawlmod, "RELOAD_ROUNDS", 5)
+    monkeypatch.setattr(crawlmod, "COMPACT_EVERY", 4)
+    monkeypatch.setattr(statemod, "COMPACT_EVERY", 4)
+
+    base = collect_results(run_crawl(
+        spark, CrawlConfig(async_commit=False), dims, list(seeds),
+        max_rounds=9, store=SnapshotStore(str(tmp_path / "sync")),
+        keep_snapshots=2))
+    store = SnapshotStore(str(tmp_path / "async"))
+    st = run_crawl(spark, CrawlConfig(async_commit=True), dims,
+                   list(seeds), max_rounds=9, store=store,
+                   keep_snapshots=2)
+    got = collect_results(st)
+
+    assert got["ordering"] == base["ordering"]
+    assert got["seen"] == base["seen"]
+    assert got["errors"] == base["errors"]
+    assert sorted(got["fetch_log"]) == sorted(base["fetch_log"])
+    assert got["emitted"] == base["emitted"]
+    # every in-flight save was joined before return: the store's
+    # latest snapshot is the final round and is loadable (resumable)
+    assert store.latest() == 9
+    from larbin_spark.plans.state import CrawlState
+    st2 = CrawlState.load(spark, store, 9)
+    assert st2.counters["round"] == 9
