@@ -235,6 +235,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quantize(spark, sf):
         return ann.quantize_embeddings(_t(spark, sf, "embeddings"), 127)
 
+    def q_pagerank(spark, sf):
+        from larbin_spark.pipeline import graph
+        return graph.pagerank(_t(spark, sf, "documents"), k_iters=3)
+
+    def q_streaming_intake(spark, sf):
+        # O-2 exercised as a REAL Structured Streaming run:
+        # deterministic submission lines (derived from documents) are
+        # dropped as text files, read back with readStream +
+        # trigger(availableNow), parsed by the streaming intake
+        # (canonicalize pandas UDF INSIDE the stream,
+        # input.cxx:60-187 protocol), landed in a memory sink. The
+        # URLs are constructed already-canonical (lowercase host,
+        # default port, normal path), so the DuckDB oracle can
+        # reconstruct the parse exactly — a full hash-matched oracle
+        # for the streaming path, not a rows-only check. Scratch dirs
+        # are per-invocation temp dirs (concurrency-safe) and removed
+        # after the stream terminates; the memory sink is
+        # file-independent by then.
+        import shutil
+        import tempfile
+        import uuid
+        from larbin_spark.streaming.input_stream import parse_submissions
+        did = F.col("doc_id")
+        lines = _t(spark, sf, "documents").select(
+            F.concat_ws(
+                " ", (did % 3).cast("string"), (did % 4).cast("string"),
+                (did % 2).cast("string"),
+                F.concat(F.lit("http://h"), (did % 37).cast("string"),
+                         F.lit(".example/d/"), did.cast("string")))
+            .alias("value"))
+        scratch = tempfile.mkdtemp(prefix="larbin_stream_intake_")
+        qname = "intake_" + uuid.uuid4().hex
+        try:
+            lines.coalesce(1).write.mode("overwrite").text(
+                f"{scratch}/drop")
+            stream = spark.readStream.format("text").load(f"{scratch}/drop")
+            q = (parse_submissions(stream).writeStream
+                 .format("memory").queryName(qname)
+                 .option("checkpointLocation", f"{scratch}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        return (spark.table(qname)
+                .select("priority", "depth", "host", "port", "path",
+                        "queue", "force_seen")
+                .orderBy("host", "path"))
+
+    def q_indegree(spark, sf):
+        from larbin_spark.pipeline import graph
+        return graph.link_stats(_t(spark, sf, "documents"))
+
     def q_pii(spark, sf):
         # the synthetic corpus has no natural PII, so both engines
         # inject the same deterministic PII (presence varies by
@@ -304,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii_scrub": q_pii,
         "curation_training_shuffle": q_training_shuffle,
         "ann_quantize": q_quantize,
+        "graph_pagerank": q_pagerank,
+        "graph_indegree": q_indegree,
+        "streaming_intake": q_streaming_intake,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -424,6 +479,50 @@ def oracle_sql() -> dict[str, str]:
     sim_fp = " + ".join(
         f"(CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END)" for j in range(60))
+
+    # graph_pagerank / graph_indegree: md5_32 digit-sum mirrors
+    # larbin_spark.pipeline.graph._md5_32 (first 8 hex chars); the
+    # iteration arithmetic is the identical int64 fixed-point
+    # (truncating // == Spark div on non-negative operands), so the
+    # unrolled CTEs hash-match the Spark loop exactly
+    from larbin_spark.pipeline.graph import PR_SCALE as _PRS
+    _pr_fanout, _pr_k = 2, 3
+    md32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8))
+    eh_rows = " UNION ALL ".join(
+        f"SELECT doc_id, md5(text || '#{j}') AS hx FROM documents"
+        for j in range(1, _pr_fanout + 1))
+    pr_graph = (
+        "meta AS (SELECT count(*) AS n, min(doc_id) AS mn FROM documents),\n"
+        f"eh AS ({eh_rows}),\n"
+        f"edges AS (SELECT doc_id AS src, (({md32}) % n + mn) AS dst"
+        " FROM eh, meta)")
+    pr_iters = []
+    for _k in range(1, _pr_k + 1):
+        _p = f"r{_k - 1}"
+        pr_iters.append(
+            f"c{_k} AS (SELECT dst, sum((rank * 85) // {100 * _pr_fanout})"
+            f" AS c\n  FROM edges JOIN {_p} ON edges.src = {_p}.node"
+            " GROUP BY dst),\n"
+            f"r{_k} AS (SELECT node, ({15 * _PRS} // (100 * n))"
+            " + coalesce(c, 0) AS rank, n\n"
+            f"  FROM {_p} LEFT JOIN c{_k} ON {_p}.node = c{_k}.dst)")
+    pr_iters_sql = ",\n".join(pr_iters)
+    pagerank_sql = f"""
+WITH {pr_graph},
+r0 AS (SELECT doc_id AS node, {_PRS} // n AS rank, n FROM documents, meta),
+{pr_iters_sql}
+SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_e12
+FROM r{_pr_k} ORDER BY doc_id"""
+    indegree_sql = f"""
+WITH {pr_graph},
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+        FROM edges GROUP BY dst)
+SELECT coalesce(in_degree, 0) AS in_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM documents LEFT JOIN ind ON documents.doc_id = ind.dst
+GROUP BY 1 ORDER BY in_degree"""
 
     return {
         "crawl_sequencer_cap": """
@@ -863,6 +962,22 @@ SELECT vec_id,
                    / 127.0) * 1000000000.0 + 0.5) AS BIGINT))), 0)
        END AS BIGINT) AS err_e9_sum
 FROM m ORDER BY vec_id""",
+        "graph_pagerank": pagerank_sql,
+        "graph_indegree": indegree_sql,
+        # mirrors q_streaming_intake's deterministic line synthesis;
+        # the URLs are pre-canonical so the parse is reconstructible
+        "streaming_intake": """
+WITH s AS (
+  SELECT (doc_id % 3) AS priority, (doc_id % 4) AS depth,
+         (doc_id % 2) AS test,
+         'h' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS host,
+         '/d/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents)
+SELECT CAST(priority AS INT) AS priority, CAST(depth AS INT) AS depth,
+       host, CAST(80 AS INT) AS port, path,
+       CASE WHEN priority > 0 THEN 'priority' ELSE 'disk' END AS queue,
+       (test = 0) AS force_seen
+FROM s ORDER BY host, path""",
         # same deterministic PII injection as the Spark side; the
         # patterns are the shared curation.PII_PATTERNS literals
         # (Java and RE2 agree on this regex subset). Counts over the

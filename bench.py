@@ -38,7 +38,7 @@ HEADLINE = [
     "crawl_explode_links", "dedup_exact", "dedup_minhash_lsh",
     "text_quality", "ann_cosine_topk", "curation_decontaminate",
     "curation_budget_pack", "curation_pipeline", "curation_pii_scrub",
-    "curation_training_shuffle", "ann_quantize",
+    "curation_training_shuffle", "ann_quantize", "graph_pagerank",
 ]
 
 

@@ -123,7 +123,8 @@ def test_bare_session_contract_subset():
         for name in ["curation_pipeline", "curation_budget_pack",
                      "curation_pack_sequences",
                      "curation_training_shuffle",
-                     "curation_pii_scrub", "ann_quantize"]:
+                     "curation_pii_scrub", "ann_quantize",
+                     "graph_pagerank", "streaming_intake"]:
             sdf = qs[name](spark, SF)
             cols = sorted(sdf.columns)
             srows = sorted(tuple(norm(r[c]) for c in cols)

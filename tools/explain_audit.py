@@ -82,6 +82,20 @@ CHECKS = {
          lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
         ("no shuffle cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "graph_pagerank": [
+        ("pure JVM hashing + integer arithmetic (no Python stage)",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-side partial aggregation of edge contributions",
+         lambda p: "partial_sum" in p),
+        ("no cartesian product (iteration joins keyed on node/dst; "
+         "the only nested-loop joins are the single-row meta "
+         "broadcasts, which every input row needs)",
+         lambda p: "CartesianProduct" not in p),
+        ("contribution joins are hash joins on the node key",
+         lambda p: p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
+         + p.count("BroadcastHashJoin") >= 3),
+    ],
     "analytics_sessionize": [
         ("one hash exchange for both windows + agg",
          lambda p: _n_hash_exchanges(p) == 1),
