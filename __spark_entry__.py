@@ -287,6 +287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from larbin_spark.pipeline import graph
         return graph.link_stats(_t(spark, sf, "documents"))
 
+    def q_quantiles(spark, sf):
+        return analytics.exact_quantiles(
+            _t(spark, sf, "documents"), "n_chars")
+
+    def q_top_terms(spark, sf):
+        return textstats.top_terms(_t(spark, sf, "documents"), 5)
+
     def q_pii(spark, sf):
         # the synthetic corpus has no natural PII, so both engines
         # inject the same deterministic PII (presence varies by
@@ -359,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_pagerank,
         "graph_indegree": q_indegree,
         "streaming_intake": q_streaming_intake,
+        "analytics_quantiles": q_quantiles,
+        "text_top_terms": q_top_terms,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -978,6 +987,29 @@ SELECT CAST(priority AS INT) AS priority, CAST(depth AS INT) AS depth,
        CASE WHEN priority > 0 THEN 'priority' ELSE 'disk' END AS queue,
        (test = 0) AS force_seen
 FROM s ORDER BY host, path""",
+        # exact quantiles: smallest v with cumulative count >=
+        # ceil(p*n/100), integer threshold on both engines
+        "analytics_quantiles": """
+WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents
+           WHERE n_chars IS NOT NULL GROUP BY 1),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+n AS (SELECT count(n_chars) AS n FROM documents),
+p(pctl) AS (VALUES (50), (90), (99))
+SELECT CAST(pctl AS INT) AS pctl, CAST(min(v) AS BIGINT) AS value
+FROM cum, n, p
+WHERE cum >= (pctl * n + 99) // 100
+GROUP BY pctl ORDER BY pctl""",
+        "text_top_terms": """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+c AS (SELECT lang, token, count(*) AS cnt FROM tok
+      WHERE token <> '' GROUP BY 1, 2),
+r AS (SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rnk
+      FROM c)
+SELECT lang, token, cnt, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
         # same deterministic PII injection as the Spark side; the
         # patterns are the shared curation.PII_PATTERNS literals
         # (Java and RE2 agree on this regex subset). Counts over the

@@ -158,3 +158,38 @@ def asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
                     F.col("last_ok").alias("asof_orderkey"),
                     price_cents.alias("asof_price_cents"))
             .orderBy("event_id"))
+
+
+def exact_quantiles(df: DataFrame, col: str,
+                    percentiles=(50, 90, 99)) -> DataFrame:
+    """Exact distributed quantiles by counting — the corpus-quality
+    dashboard wants true p50/p90/p99 of a bounded-domain metric
+    (doc length, token count), and approx_percentile sketches are
+    not cross-engine reproducible.
+
+    Shape: compress rows to (value, count) with one hash shuffle
+    (map-side partial agg), run the two-phase prefix sum over the
+    value order (operators/sequence.py — the naive
+    ``sum() OVER (ORDER BY value)`` would funnel the whole counts
+    table through one task), then pick, per requested percentile,
+    the smallest value whose cumulative count reaches the integer
+    threshold ``(p*n + 99) div 100`` — ceil(p*n/100) in pure int64,
+    identical in DuckDB. The counts table is O(distinct values),
+    not O(rows); the percentile list is a constant broadcast.
+
+    Returns (pctl int, value) ordered by pctl.
+    """
+    from ..operators.sequence import assign_group_cumsum
+    counts = (df.select(F.col(col).alias("v"))
+              .where(F.col("v").isNotNull())
+              .groupBy("v").agg(F.count("*").alias("cnt"))
+              .withColumn("_g", F.lit(0)))
+    cum = assign_group_cumsum(counts, ["_g"], ["v"], "cnt", "cum")
+    total = cum.agg(F.sum("cnt").alias("n"))
+    spark = df.sparkSession
+    pctl = spark.createDataFrame([(int(p),) for p in percentiles],
+                                 "pctl int")
+    return (cum.join(F.broadcast(total)).join(F.broadcast(pctl))
+            .where(F.col("cum") >= F.expr("(pctl * n + 99) div 100"))
+            .groupBy("pctl").agg(F.min("v").alias("value"))
+            .orderBy("pctl"))

@@ -113,3 +113,24 @@ def fingerprints(documents: DataFrame, prefix_len: int = 16) -> DataFrame:
         "doc_id",
         F.substring(F.md5(F.encode(norm, "utf-8")), 1, prefix_len)
         .alias("fingerprint")).orderBy("doc_id")
+
+
+def top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k tokens per language by count (ties broken by token) —
+    vocabulary inspection for corpus curation. One explode scan,
+    partially-aggregated (lang, token) counts, then the same
+    map-side-top-k window the sequencer uses (WindowGroupLimit
+    prunes to k rows per lang before the shuffle); the window
+    partitions are vocabulary-sized per language, never
+    corpus-sized. Returns (lang, token, cnt, rnk)."""
+    from pyspark.sql import Window
+    tok = documents.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = (tok.where(F.col("token") != "")
+              .groupBy("lang", "token").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("lang", "token", "cnt",
+                    F.col("rnk").cast("int").alias("rnk"))
+            .orderBy("lang", "rnk"))

@@ -279,3 +279,38 @@ def test_quantize_embeddings_degenerate_inputs_match_duckdb(spark):
     want = sorted(tuple(r) for r in
                   con.execute(em.oracle_sql()["ann_quantize"]).fetchall())
     assert got == want
+
+
+def test_exact_quantiles_hand_computed(spark):
+    """20 rows of value i+1 (n=20): threshold ceil(p*n/100) picks the
+    ceil(p/5)-th value; duplicates and an empty-percentile edge are
+    covered by the contract row at sf0.01."""
+    df = spark.createDataFrame([(i % 4, i + 1) for i in range(20)],
+                               "grp int, v long")
+    out = {r.pctl: r.value
+           for r in analytics.exact_quantiles(df, "v", (50, 90, 99, 100))
+           .collect()}
+    assert out == {50: 10, 90: 18, 99: 20, 100: 20}
+
+
+def test_exact_quantiles_skips_nulls_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [(None,), (5,), (5,), (5,), (9,)], "v long")
+    out = {r.pctl: r.value
+           for r in analytics.exact_quantiles(df, "v", (50, 75, 100))
+           .collect()}
+    # n=4 non-null: ceil(2)=2 -> 5; ceil(3)=3 -> 5; ceil(4)=4 -> 9
+    assert out == {50: 5, 75: 5, 100: 9}
+
+
+def test_top_terms_rank_and_ties(spark):
+    from larbin_spark.pipeline import textstats
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en"), (2, "b c c", "en"), (3, "x y", "fr")],
+        "doc_id long, text string, lang string")
+    rows = textstats.top_terms(docs, 2).collect()
+    en = [(r.token, r.cnt, r.rnk) for r in rows if r.lang == "en"]
+    fr = [(r.token, r.cnt, r.rnk) for r in rows if r.lang == "fr"]
+    # en counts: a=3, b=3, c=3 -> tie broken by token asc: a then b
+    assert en == [("a", 3, 1), ("b", 3, 2)]
+    assert fr == [("x", 1, 1), ("y", 1, 2)]

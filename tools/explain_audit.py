@@ -96,6 +96,26 @@ CHECKS = {
          lambda p: p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
          + p.count("BroadcastHashJoin") >= 3),
     ],
+    "analytics_quantiles": [
+        ("no unpartitioned window: the cumulative count is the "
+         "two-phase cumsum, never `sum() OVER (ORDER BY v)`",
+         lambda p: "windowspecdefinition" not in p),
+        ("carry offsets joined by broadcast",
+         lambda p: any("_goff" in b for b in _broadcast_inputs(p))),
+        ("value counts compressed with map-side partial aggregation",
+         lambda p: "partial_count" in p),
+    ],
+    "text_top_terms": [
+        ("map-side top-k (WindowGroupLimit before shuffle)",
+         lambda p: p.count("WindowGroupLimit") >= 2),
+        ("partial aggregation of token counts",
+         lambda p: "partial_count" in p),
+        ("the only window partitions by lang (vocabulary-sized, "
+         "never corpus-sized)",
+         lambda p: all(
+             w.startswith("windowspecdefinition(lang")
+             for w in re.findall(r"windowspecdefinition\([^)]*\)", p))),
+    ],
     "analytics_sessionize": [
         ("one hash exchange for both windows + agg",
          lambda p: _n_hash_exchanges(p) == 1),
@@ -401,6 +421,7 @@ PRE_CHECKPOINT_PROBES = {
                           "group_cumsum:source->cum_tokens"],
     "curation_training_shuffle":
         ["global_seq:_shuf_key,doc_id->shuffle_pos"],
+    "analytics_quantiles": ["group_cumsum:_g->cum"],
 }
 
 
