@@ -294,6 +294,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_top_terms(spark, sf):
         return textstats.top_terms(_t(spark, sf, "documents"), 5)
 
+    def q_url_filter(spark, sf):
+        # O-5 (checker.cxx:70-90 filter1) as a contract row: the
+        # REAL kernel pandas UDF over synthesized URLs that exercise
+        # every branch — domain allow-list suffix match,
+        # html/htm/trailing-slash always-pass (case-insensitive),
+        # forbidden-extension reject (case-insensitive,
+        # period-inclusive: '.zipx' must NOT match '.zip'), no-ext
+        # pass. The oracle reproduces the full shipped
+        # forbidden-extension list in SQL; lower() equals the
+        # kernel's byte-wise |0x20 compare on these
+        # letters/digits/dot/slash paths.
+        from larbin_spark.functions.udfs import filter1_udf
+        did = F.col("doc_id")
+        host = F.concat(
+            F.lit("h"), (did % 11).cast("string"),
+            F.when(did % 2 == 0, F.lit(".allowed.example"))
+             .otherwise(F.lit(".other.example")))
+        ds = did.cast("string")
+        path = (F.when(did % 8 == 0, F.concat(F.lit("/p"), ds, F.lit(".html")))
+                .when(did % 8 == 1, F.concat(F.lit("/p"), ds, F.lit(".HTM")))
+                .when(did % 8 == 2, F.concat(F.lit("/d"), ds, F.lit("/")))
+                .when(did % 8 == 3, F.concat(F.lit("/f"), ds, F.lit(".PDF")))
+                .when(did % 8 == 4, F.concat(F.lit("/f"), ds, F.lit(".tar")))
+                .when(did % 8 == 5, F.concat(F.lit("/f"), ds, F.lit(".txt")))
+                .when(did % 8 == 6, F.concat(F.lit("/f"), ds))
+                .otherwise(F.concat(F.lit("/x"), ds, F.lit(".zipx"))))
+        d = (_t(spark, sf, "documents")
+             .select("doc_id", host.alias("host"), path.alias("path")))
+        return (d.withColumn(
+            "allowed", filter1_udf("host", "path",
+                                   F.lit(".allowed.example"), F.lit("")))
+                .orderBy("doc_id"))
+
+    def q_robots_gate(spark, sf):
+        # O-11 matching (testRobots, site.cxx:383-392 +
+        # text.cxx:52-73 robotsMatch) as a contract row: the REAL
+        # kernel UDF over four rule sets — plain prefixes, a
+        # '*'-wildcard pattern (no backtracking: after '*' jumps to
+        # the FIRST occurrence of the next literal char, matching
+        # continues there or fails), block-all, and empty. The
+        # oracle transcribes exactly that semantic in SQL.
+        from larbin_spark.functions.udfs import robots_allowed_udf
+        did = F.col("doc_id")
+        ds = did.cast("string")
+        path = (F.when(did % 6 == 0, F.concat(F.lit("/p"), ds, F.lit(".html")))
+                .when(did % 6 == 1, F.concat(F.lit("/private/x"), ds))
+                .when(did % 6 == 2, F.concat(F.lit("/tmp/"), ds))
+                .when(did % 6 == 3, F.concat(F.lit("/doc"), ds, F.lit(".pdf")))
+                .when(did % 6 == 4, F.concat(F.lit("/a"), ds, F.lit("/b")))
+                .otherwise(F.lit("/")))
+        rules = (F.when(did % 4 == 0,
+                        F.array(F.lit("/private"), F.lit("/tmp/")))
+                 .when(did % 4 == 1, F.array(F.lit("*.pdf")))
+                 .when(did % 4 == 2, F.array(F.lit("/")))
+                 .otherwise(F.array().cast("array<string>")))
+        d = (_t(spark, sf, "documents")
+             .select("doc_id", path.alias("path"),
+                     (did % 4).cast("int").alias("rules_id"),
+                     rules.alias("forbidden")))
+        return (d.withColumn("allowed",
+                             robots_allowed_udf("path", "forbidden",
+                                                F.lit(False)))
+                .select("doc_id", "path", "rules_id", "allowed")
+                .orderBy("doc_id"))
+
     def q_pii(spark, sf):
         # the synthetic corpus has no natural PII, so both engines
         # inject the same deterministic PII (presence varies by
@@ -368,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_intake": q_streaming_intake,
         "analytics_quantiles": q_quantiles,
         "text_top_terms": q_top_terms,
+        "crawl_url_filter": q_url_filter,
+        "crawl_robots_gate": q_robots_gate,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -532,6 +599,38 @@ SELECT coalesce(in_degree, 0) AS in_degree,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM documents LEFT JOIN ind ON documents.doc_id = ind.dst
 GROUP BY 1 ORDER BY in_degree"""
+
+    # crawl_url_filter: same deterministic URL synthesis as the Spark
+    # side; the allow/reject predicate reproduces checker.cxx filter1
+    # with the kernel's OWN shipped forbidden-extension list (lower()
+    # == the byte-wise |0x20 compare on these letter/digit/./- paths)
+    from larbin_spark.kernels.urlfilter import DEFAULT_FORBIDDEN_EXTENSIONS
+    forb = " OR ".join(f"ends_with(lower(path), '{e}')"
+                       for e in DEFAULT_FORBIDDEN_EXTENSIONS)
+    url_filter_sql = f"""
+WITH u AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 11 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '.allowed.example'
+              ELSE '.other.example' END AS host,
+         CASE doc_id % 8
+           WHEN 0 THEN '/p' || CAST(doc_id AS VARCHAR) || '.html'
+           WHEN 1 THEN '/p' || CAST(doc_id AS VARCHAR) || '.HTM'
+           WHEN 2 THEN '/d' || CAST(doc_id AS VARCHAR) || '/'
+           WHEN 3 THEN '/f' || CAST(doc_id AS VARCHAR) || '.PDF'
+           WHEN 4 THEN '/f' || CAST(doc_id AS VARCHAR) || '.tar'
+           WHEN 5 THEN '/f' || CAST(doc_id AS VARCHAR) || '.txt'
+           WHEN 6 THEN '/f' || CAST(doc_id AS VARCHAR)
+           ELSE '/x' || CAST(doc_id AS VARCHAR) || '.zipx'
+         END AS path
+  FROM documents)
+SELECT doc_id, host, path,
+       (ends_with(host, '.allowed.example')
+        AND (ends_with(lower(path), 'html')
+             OR ends_with(lower(path), 'htm')
+             OR ends_with(path, '/')
+             OR NOT ({forb}))) AS allowed
+FROM u ORDER BY doc_id"""
 
     return {
         "crawl_sequencer_cap": """
@@ -973,6 +1072,36 @@ SELECT vec_id,
 FROM m ORDER BY vec_id""",
         "graph_pagerank": pagerank_sql,
         "graph_indegree": indegree_sql,
+        "crawl_url_filter": url_filter_sql,
+        # crawl_robots_gate: same URL/rule synthesis; the predicate
+        # transcribes robotsMatch's no-backtracking semantics —
+        # '*.pdf' forbids a path iff the FIRST '.' is followed by
+        # 'pdf' (text.cxx:52-73 jumps to the first occurrence and
+        # never retries a later one)
+        "crawl_robots_gate": """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN '/p' || CAST(doc_id AS VARCHAR) || '.html'
+           WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN 4 THEN '/a' || CAST(doc_id AS VARCHAR) || '/b'
+           ELSE '/'
+         END AS path,
+         CAST(doc_id % 4 AS INT) AS rules_id
+  FROM documents)
+SELECT doc_id, path, rules_id,
+       CASE rules_id
+         WHEN 0 THEN NOT (starts_with(path, '/private')
+                          OR starts_with(path, '/tmp/'))
+         WHEN 1 THEN NOT (CASE WHEN strpos(path, '.') > 0
+                          THEN substr(path, strpos(path, '.'), 4) = '.pdf'
+                          ELSE false END)
+         WHEN 2 THEN NOT starts_with(path, '/')
+         ELSE true
+       END AS allowed
+FROM u ORDER BY doc_id""",
         # mirrors q_streaming_intake's deterministic line synthesis;
         # the URLs are pre-canonical so the parse is reconstructible
         "streaming_intake": """

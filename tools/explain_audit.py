@@ -96,6 +96,20 @@ CHECKS = {
          lambda p: p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
          + p.count("BroadcastHashJoin") >= 3),
     ],
+    "crawl_url_filter": [
+        ("filter kernel runs as vectorized Arrow eval, never "
+         "row-at-a-time Python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("single scan of the input",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "crawl_robots_gate": [
+        ("robots matching runs as vectorized Arrow eval, never "
+         "row-at-a-time Python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("single scan of the input",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
     "analytics_quantiles": [
         ("no unpartitioned window: the cumulative count is the "
          "two-phase cumsum, never `sum() OVER (ORDER BY v)`",
