@@ -359,6 +359,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "path", "rules_id", "allowed")
                 .orderBy("doc_id"))
 
+    def q_canonicalize(spark, sf):
+        # O-3 canonicalization goldens through the REAL batch UDF
+        # (the vectorized fast path in kernels/vectorized.py): host
+        # lowercasing, // and /./ collapse, /../ resolution, fragment
+        # strip, explicit port, printable %-decode (%41->A), %2F->/
+        # (the r3 golden), %20 kept, bare host -> '/', and non-http
+        # protocol rejection. The oracle carries the expected
+        # canonical forms as literals (url.cxx:488-529 + :82-172).
+        from larbin_spark.functions.udfs import canonicalize_udf
+        did = F.col("doc_id")
+        ds = did.cast("string")
+        h = lambda suffix: F.concat(F.lit("http://h"), ds,
+                                    F.lit(".example" + suffix))
+        raw = (F.when(did % 11 == 0, F.concat(F.lit("http://WWW.Ex"), ds,
+                                              F.lit(".COM/a/b")))
+               .when(did % 11 == 1, h("//x//y"))
+               .when(did % 11 == 2, h("/a/./b"))
+               .when(did % 11 == 3, h("/a/../b"))
+               .when(did % 11 == 4, h("/a/b#frag"))
+               .when(did % 11 == 5, h(":8080/x"))
+               .when(did % 11 == 6, h("/a%41b"))
+               .when(did % 11 == 7, F.concat(F.lit("ftp://h"), ds,
+                                             F.lit(".example/x")))
+               .when(did % 11 == 8, h(""))
+               .when(did % 11 == 9, h("/a%2Fb"))
+               .otherwise(h("/a%20b")))
+        d = _t(spark, sf, "documents").select("doc_id", raw.alias("raw"))
+        c = canonicalize_udf("raw", F.lit(None), F.lit(None), F.lit(None))
+        return (d.withColumn("c", c)
+                .select("doc_id", F.col("c.host").alias("host"),
+                        # -1 sentinel for the invalid row: a nullable
+                        # int arrives as float64 from DuckDB and the
+                        # driver's dtype-kind check would false-alarm
+                        F.coalesce(F.col("c.port"), F.lit(0))
+                         .cast("int").alias("port"),
+                        F.col("c.path").alias("path"),
+                        F.col("c.valid").alias("valid"))
+                .orderBy("doc_id"))
+
     def q_pii(spark, sf):
         # the synthetic corpus has no natural PII, so both engines
         # inject the same deterministic PII (presence varies by
@@ -435,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_terms": q_top_terms,
         "crawl_url_filter": q_url_filter,
         "crawl_robots_gate": q_robots_gate,
+        "crawl_canonicalize": q_canonicalize,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -1101,6 +1141,23 @@ SELECT doc_id, path, rules_id,
          WHEN 2 THEN NOT starts_with(path, '/')
          ELSE true
        END AS allowed
+FROM u ORDER BY doc_id""",
+        # crawl_canonicalize: expected canonical forms as literals —
+        # a golden-vector oracle for the O-3 kernel's batch path
+        "crawl_canonicalize": """
+WITH u AS (SELECT doc_id, doc_id % 11 AS k,
+                  CAST(doc_id AS VARCHAR) AS ds FROM documents)
+SELECT doc_id,
+  CASE WHEN k = 7 THEN NULL
+       WHEN k = 0 THEN 'www.ex' || ds || '.com'
+       ELSE 'h' || ds || '.example' END AS host,
+  CAST(CASE WHEN k = 7 THEN 0
+            WHEN k = 5 THEN 8080 ELSE 80 END AS INT) AS port,
+  CASE k WHEN 0 THEN '/a/b' WHEN 1 THEN '/x/y' WHEN 2 THEN '/a/b'
+         WHEN 3 THEN '/b' WHEN 4 THEN '/a/b' WHEN 5 THEN '/x'
+         WHEN 6 THEN '/aAb' WHEN 7 THEN NULL WHEN 8 THEN '/'
+         WHEN 9 THEN '/a/b' ELSE '/a%20b' END AS path,
+  (k <> 7) AS valid
 FROM u ORDER BY doc_id""",
         # mirrors q_streaming_intake's deterministic line synthesis;
         # the URLs are pre-canonical so the parse is reconstructible

@@ -110,6 +110,13 @@ CHECKS = {
         ("single scan of the input",
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "crawl_canonicalize": [
+        ("canonicalization runs as vectorized Arrow eval, never "
+         "row-at-a-time Python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("single scan of the input",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
     "analytics_quantiles": [
         ("no unpartitioned window: the cumulative count is the "
          "two-phase cumsum, never `sum() OVER (ORDER BY v)`",
