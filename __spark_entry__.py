@@ -255,8 +255,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file-independent by then.
         import shutil
         import tempfile
-        import uuid
         from larbin_spark.streaming.input_stream import parse_submissions
+        if not spark.sparkContext.master.startswith("local"):
+            # the text drop dir, stream checkpoint, and batch write
+            # all share one driver-local temp path — correct only
+            # when driver and executors share a filesystem. On a real
+            # cluster the drop dir must live on shared storage; fail
+            # loud rather than return a silently empty stream.
+            raise NotImplementedError(
+                "streaming_intake's scratch handoff assumes a local "
+                "master (shared driver/executor filesystem); point "
+                "the drop/checkpoint dirs at cluster-visible storage "
+                "to run it on a real cluster")
         did = F.col("doc_id")
         lines = _t(spark, sf, "documents").select(
             F.concat_ws(
@@ -266,7 +276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.lit(".example/d/"), did.cast("string")))
             .alias("value"))
         scratch = tempfile.mkdtemp(prefix="larbin_stream_intake_")
-        qname = "intake_" + uuid.uuid4().hex
+        # fixed sink name, dropped first: a uuid-per-call name would
+        # pin one full copy of the parsed table in driver memory per
+        # invocation for the session lifetime (bench reps, repeated
+        # contract runs). Sequential use per session is the contract;
+        # the returned DataFrame resolves the view lazily, so consume
+        # it before invoking this query again.
+        qname = "intake_contract_sink"
+        spark.catalog.dropTempView(qname)
         try:
             lines.coalesce(1).write.mode("overwrite").text(
                 f"{scratch}/drop")
@@ -389,9 +406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = canonicalize_udf("raw", F.lit(None), F.lit(None), F.lit(None))
         return (d.withColumn("c", c)
                 .select("doc_id", F.col("c.host").alias("host"),
-                        # -1 sentinel for the invalid row: a nullable
-                        # int arrives as float64 from DuckDB and the
-                        # driver's dtype-kind check would false-alarm
+                        # 0 sentinel for the invalid row (what the
+                        # vectorized kernel already yields): a
+                        # nullable int arrives as float64 from DuckDB
+                        # and the driver's dtype-kind check would
+                        # false-alarm
                         F.coalesce(F.col("c.port"), F.lit(0))
                          .cast("int").alias("port"),
                         F.col("c.path").alias("path"),

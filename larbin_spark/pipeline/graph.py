@@ -81,12 +81,21 @@ def pagerank(documents: DataFrame, k_iters: int = 3, fanout: int = 2,
 
     Returns (doc_id, rank_e12) ordered by doc_id.
     """
-    edges = derived_edges(documents, fanout)
-    # reused K times: don't re-run the md5 scan per iteration
-    edges = edges.localCheckpoint(eager=False)
-    meta = documents.agg(F.count("*").alias("_n"))
-    nodes = (documents.select(F.col("doc_id").alias("node"))
-             .join(F.broadcast(meta)))
+    # one metadata aggregate + ONE corpus scan regardless of K: the
+    # checkpointed base carries both the per-node edge targets
+    # (pre-explode) and the node set, so the iterations never re-read
+    # documents or re-run the md5 hashing
+    meta = documents.agg(F.count("*").alias("_n"),
+                         F.min("doc_id").alias("_mn"))
+    dsts = [(_md5_32(F.col("text"), f"#{j}") % F.col("_n") + F.col("_mn"))
+            .alias(f"d{j}") for j in range(1, fanout + 1)]
+    base = (documents.select("doc_id", "text")
+            .join(F.broadcast(meta))
+            .select("doc_id", "_n", F.array(*dsts).alias("_dsts")))
+    base = base.localCheckpoint(eager=False)
+    edges = base.select(F.col("doc_id").alias("src"),
+                        F.explode("_dsts").alias("dst"))
+    nodes = base.select(F.col("doc_id").alias("node"), "_n")
     r = nodes.select("node", "_n",
                      F.expr(f"{scale} div _n").alias("rank"))
     per_edge = f"(rank * 85) div {100 * fanout}"
