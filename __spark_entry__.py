@@ -32,6 +32,9 @@ import os as _os
 _MULTIMODAL_MEDIA_PATH = _os.path.join(
     _os.path.dirname(_os.path.abspath(__file__)), ".cache",
     "multimodal_media.parquet")
+_SPANS_FIXTURE_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), ".cache",
+    "spans_fixture.parquet")
 
 
 # ---------------------------------------------------------------
@@ -208,6 +211,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (multimodal.extract_features(media_rt, fake=True)
                 .select("media_id", "kind", "n_bytes", "digest")
                 .orderBy("media_id"))
+
+    def q_spans_profile(spark, sf):
+        # the north-rule input shape (doc_id, spans:array<struct<
+        # kind,text,media_ref,offset>>) as a direct contract surface:
+        # deterministic interleaved fixture through the atomic
+        # explicit-pyarrow handoff (same class as multimodal), then
+        # per-doc stats + the ORDER-SENSITIVE span-sequence
+        # fingerprint, all JVM higher-order functions — the DuckDB
+        # oracle unnests the same file and must reproduce every
+        # value, span_fp included (span-sequence equality as a hash)
+        from larbin_spark.pipeline import spans as spans_mod
+        spans_mod.write_spans_parquet(_SPANS_FIXTURE_PATH, 96)
+        return spans_mod.spans_profile(
+            spark.read.parquet(_SPANS_FIXTURE_PATH))
 
     def q_decontaminate(spark, sf):
         return curation.decontaminate(_t(spark, sf, "documents"), 97, 3)
@@ -477,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_neardup,
         "crawl_save_layout": q_save_layout,
         "multimodal_features": q_multimodal,
+        "spans_profile": q_spans_profile,
         "curation_decontaminate": q_decontaminate,
         "curation_stratified_sample": q_stratified,
         "curation_repetition": q_repetition,
@@ -990,6 +1008,26 @@ SELECT media_id, kind,
        md5(lower(hex(payload))) AS digest
 FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}')
 ORDER BY media_id""",
+        # north-rule input shape: per-doc stats over the interleaved
+        # spans array, incl. the order-sensitive sequence fingerprint
+        # (list lambdas mirror Spark's higher-order functions 1:1)
+        "spans_profile": f"""
+SELECT doc_id,
+       CAST(len(spans) AS INTEGER) AS n_spans,
+       CAST(len(list_filter(spans, s -> s['kind'] = 'image'))
+            AS INTEGER) AS n_media,
+       CAST(coalesce(list_sum(list_transform(
+              list_filter(spans, s -> s['kind'] = 'text'),
+              s -> length(s['text']))), 0) AS BIGINT) AS text_chars,
+       list_filter(spans, s -> s['kind'] = 'image')[1]['media_ref']
+         AS first_media,
+       md5(array_to_string(list_transform(spans,
+             s -> concat_ws(':', s['kind'], coalesce(s['text'], ''),
+                            coalesce(s['media_ref'], ''),
+                            CAST(s['offset'] AS VARCHAR))), '|'))
+         AS span_fp
+FROM read_parquet('{_SPANS_FIXTURE_PATH}')
+ORDER BY doc_id""",
         "curation_decontaminate": f"""
 WITH {_SHINGLES_CTE},
 ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

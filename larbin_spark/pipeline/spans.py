@@ -1,0 +1,111 @@
+"""Interleaved text+media span-column operators.
+
+The north-star input model is a table of interleaved documents:
+``(doc_id, spans: array<struct<kind:string, text:string,
+media_ref:string, offset:int>>)`` — the shape the crawl emits
+(fixtures/webgen.py; reference parse: file.cxx:597-798 produces
+exactly this alternation of text runs and media refs) and the per-row
+invariant the parity suite pins (span-sequence equality on
+kind/text/media_ref/order). This module gives the span column a
+direct cross-engine contract surface:
+
+- a deterministic spans fixture written with an explicit pyarrow
+  schema — the same session-config-free atomic handoff as the media
+  fixture (multimodal.write_media_parquet), so the DuckDB oracle
+  reads the identical rows;
+- ``spans_profile``: per-document span statistics computed entirely
+  with JVM higher-order functions (filter/transform/aggregate) — no
+  Python stage, no explode, no shuffle beyond the presentation sort.
+  The ``span_fp`` fingerprint is ORDER-SENSITIVE (md5 over the
+  joined kind:text:media_ref:offset sequence), i.e. the per-row
+  span-sequence-equality invariant as a hashable column.
+
+Scale shape: everything is a per-row map over the spans array —
+fused into whatever scan carries it, embarrassingly parallel at any
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def spans_rows(n: int = 96):
+    """Deterministic interleaved span rows: doc i carries (i % 5) + 1
+    spans; span j is an image ref when (i + j) % 3 == 2, else a text
+    run. Covers 1..5-span docs, media-first/media-last orders,
+    all-text docs, and empty-text never (the reference never emits
+    empty runs)."""
+    rows = []
+    for i in range(n):
+        spans = []
+        for j in range(i % 5 + 1):
+            if (i + j) % 3 == 2:
+                spans.append({"kind": "image", "text": None,
+                              "media_ref": f"m://{i}/{j}", "offset": j})
+            else:
+                spans.append({"kind": "text", "text": f"t{i}w{j}",
+                              "media_ref": None, "offset": j})
+        rows.append((i, spans))
+    return rows
+
+
+def write_spans_parquet(path: str, n: int = 96) -> None:
+    """ONE parquet file from `spans_rows` with an explicit pyarrow
+    schema — never via Spark/pandas round-trips (struct columns would
+    need the session's arrow config; see write_media_parquet on the
+    r3 regression class). Atomic tmp + os.replace."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = spans_rows(n)
+    schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("spans", pa.list_(pa.struct([
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]))),
+    ])
+    table = pa.Table.from_pydict(
+        {"doc_id": [r[0] for r in rows],
+         "spans": [r[1] for r in rows]},
+        schema=schema)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def spans_profile(docs: DataFrame) -> DataFrame:
+    """Per-document profile of the interleaved span sequence, all
+    JVM-side higher-order functions over the array column:
+
+    - n_spans / n_media: size + filtered size
+    - text_chars: aggregate over text spans (0 when none)
+    - first_media: media_ref of the first image span (null when none)
+    - span_fp: order-sensitive md5 of the full
+      kind:text:media_ref:offset sequence — the span-sequence
+      equality invariant as a column
+    """
+    media = F.filter("spans", lambda s: s["kind"] == F.lit("image"))
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    text_chars = F.aggregate(
+        text_spans, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.length(s["text"]))
+    seq = F.transform("spans", lambda s: F.concat_ws(
+        ":", s["kind"], F.coalesce(s["text"], F.lit("")),
+        F.coalesce(s["media_ref"], F.lit("")),
+        s["offset"].cast("string")))
+    return (docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(media).alias("n_media"),
+        text_chars.alias("text_chars"),
+        F.try_element_at(media, F.lit(1))["media_ref"].alias("first_media"),
+        F.md5(F.encode(F.array_join(seq, "|"), "utf-8")).alias("span_fp"))
+        .orderBy("doc_id"))

@@ -125,7 +125,7 @@ def test_bare_session_contract_subset():
                      "curation_training_shuffle",
                      "curation_pii_scrub", "ann_quantize",
                      "graph_pagerank", "streaming_intake",
-                     "analytics_quantiles"]:
+                     "analytics_quantiles", "spans_profile"]:
             sdf = qs[name](spark, SF)
             cols = sorted(sdf.columns)
             srows = sorted(tuple(norm(r[c]) for c in cols)

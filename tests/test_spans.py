@@ -1,0 +1,56 @@
+"""Interleaved span-column profile: fixture shape, hand-computed
+stats, and the ORDER-SENSITIVITY of the sequence fingerprint."""
+
+import os
+
+from larbin_spark.pipeline.spans import (
+    spans_profile, spans_rows, write_spans_parquet,
+)
+
+
+def test_fixture_rows_cover_shapes():
+    rows = spans_rows(96)
+    lens = {len(spans) for _, spans in rows}
+    assert lens == {1, 2, 3, 4, 5}
+    kinds = {s["kind"] for _, spans in rows for s in spans}
+    assert kinds == {"text", "image"}
+    # media-first docs exist (doc 2 starts with an image)
+    assert rows[2][1][0]["kind"] == "image"
+    # all-text docs exist
+    assert any(all(s["kind"] == "text" for s in spans)
+               for _, spans in rows if len(spans) > 1)
+
+
+def test_profile_hand_computed(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "spans.parquet")
+    write_spans_parquet(path, 96)
+    out = {r["doc_id"]: r
+           for r in spans_profile(spark.read.parquet(path)).collect()}
+    assert len(out) == 96
+    # doc 0: one text span "t0w0"
+    assert out[0]["n_spans"] == 1 and out[0]["n_media"] == 0
+    assert out[0]["text_chars"] == 4 and out[0]["first_media"] is None
+    # doc 2: image m://2/0, text t2w1, text t2w2
+    assert out[2]["n_spans"] == 3 and out[2]["n_media"] == 1
+    assert out[2]["text_chars"] == 8
+    assert out[2]["first_media"] == "m://2/0"
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    fwd = [{"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+           {"kind": "image", "text": None, "media_ref": "m", "offset": 1}]
+    rev = list(reversed(fwd))
+    schema = ("doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    df = spark.createDataFrame([(0, fwd), (1, rev)], schema)
+    fps = {r["doc_id"]: r["span_fp"] for r in spans_profile(df).collect()}
+    assert fps[0] != fps[1]
+
+
+def test_write_is_deterministic(tmp_path):
+    p1 = os.path.join(str(tmp_path), "a.parquet")
+    p2 = os.path.join(str(tmp_path), "b.parquet")
+    write_spans_parquet(p1, 96)
+    write_spans_parquet(p2, 96)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
