@@ -252,6 +252,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quantize(spark, sf):
         return ann.quantize_embeddings(_t(spark, sf, "embeddings"), 127)
 
+    def q_semantic(spark, sf):
+        # SemDeDup: fixed-iteration k-means then within-cluster
+        # lower-id cosine pruning (pipeline/semantic.py); the oracle
+        # regenerates the identical Lloyd iterations as CTEs
+        from larbin_spark.pipeline import semantic
+        return semantic.semantic_dedup(_t(spark, sf, "embeddings"),
+                                       k=8, iters=2, threshold=0.3)
+
     def q_pagerank(spark, sf):
         from larbin_spark.pipeline import graph
         return graph.pagerank(_t(spark, sf, "documents"), k_iters=3)
@@ -504,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii_scrub": q_pii,
         "curation_training_shuffle": q_training_shuffle,
         "ann_quantize": q_quantize,
+        "dedup_semantic": q_semantic,
         "graph_pagerank": q_pagerank,
         "graph_indegree": q_indegree,
         "streaming_intake": q_streaming_intake,
@@ -564,6 +573,56 @@ def _lsh_planes_sql(n_planes: int = 8, offset: int = 0) -> str:
             f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
             f"THEN {1 << i} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _semantic_sql(k: int = 8, iters: int = 2,
+                  threshold: float = 0.3) -> str:
+    """DuckDB re-implementation of pipeline.semantic.semantic_dedup:
+    e6-integerized points (exact integer dots/sums on both engines),
+    fixed-iteration Lloyd's with first-k init, round-6 + lowest-cid
+    argmax, then within-cluster lower-id cosine pruning. The iteration
+    CTEs are generated to mirror the Spark loop 1:1."""
+    def cos(a, b):
+        return (f"list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b})))")
+
+    parts = [
+        "WITH pts AS (\n"
+        "  SELECT vec_id, list_transform(embedding::DOUBLE[],\n"
+        "           x -> floor(x * 1000000.0 + 0.5)) AS p\n"
+        "  FROM embeddings),\n"
+        f"cent0 AS (SELECT vec_id AS cid, p AS c FROM pts"
+        f" WHERE vec_id < {k})"]
+    for i in range(iters + 1):
+        parts.append(
+            f"asg{i} AS (\n"
+            f"  SELECT vec_id, p, cid AS cluster FROM (\n"
+            f"    SELECT pts.vec_id, pts.p, c.cid,\n"
+            f"           row_number() OVER (PARTITION BY pts.vec_id\n"
+            f"             ORDER BY round({cos('pts.p', 'c.c')}, 6)"
+            f" DESC NULLS LAST, c.cid) AS rn\n"
+            f"    FROM pts CROSS JOIN cent{i} c) WHERE rn = 1)")
+        if i < iters:
+            parts.append(
+                f"ex{i} AS (SELECT cluster, unnest(p) AS v,\n"
+                f"  unnest(range(1, len(p) + 1)) AS pos FROM asg{i})")
+            parts.append(
+                f"cent{i + 1} AS (\n"
+                f"  SELECT cluster AS cid, list(m ORDER BY pos) AS c"
+                f" FROM (\n"
+                f"    SELECT cluster, pos, sum(v) / count(*) AS m\n"
+                f"    FROM ex{i} GROUP BY 1, 2) GROUP BY cluster)")
+    parts.append(
+        f"dups AS (SELECT DISTINCT a.vec_id\n"
+        f"  FROM asg{iters} a JOIN asg{iters} b\n"
+        f"    ON a.cluster = b.cluster AND a.vec_id > b.vec_id\n"
+        f"  WHERE round({cos('a.p', 'b.p')}, 6) >= {threshold})")
+    return (",\n".join(parts) + f"""
+SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM asg{iters} a LEFT JOIN dups d USING (vec_id)
+ORDER BY a.vec_id""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1167,6 +1226,9 @@ SELECT vec_id,
                    / 127.0) * 1000000000.0 + 0.5) AS BIGINT))), 0)
        END AS BIGINT) AS err_e9_sum
 FROM m ORDER BY vec_id""",
+        # SemDeDup: the generated CTE chain mirrors the Spark Lloyd
+        # loop iteration-for-iteration (see _semantic_sql)
+        "dedup_semantic": _semantic_sql(k=8, iters=2, threshold=0.3),
         "graph_pagerank": pagerank_sql,
         "graph_indegree": indegree_sql,
         "crawl_url_filter": url_filter_sql,

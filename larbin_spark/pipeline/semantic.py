@@ -1,0 +1,134 @@
+"""Semantic (cluster-then-prune) deduplication over embeddings.
+
+The SemDeDup pattern (Abbas et al., arXiv:2303.09540): k-means the
+embedding space, then prune near-duplicates ONLY within each cluster —
+the clusters bound the candidate-pair space, so the quadratic part of
+near-dup detection never touches the full corpus. This complements
+``dedup.embedding_neardup_pairs`` (banded hyperplane LSH): LSH bounds
+pairs probabilistically per band, clustering bounds them geometrically
+and additionally yields the cluster structure a curation pipeline uses
+for stratification / coresets.
+
+Cross-engine exactness strategy (the whole module is contract-checked
+against a DuckDB re-implementation, see __spark_entry__.oracle_sql):
+
+- Points are e6-integerized once (``floor(x * 1e6 + 0.5)`` per
+  element, kept as doubles): every element is an exact integer well
+  under 2^53, so dot products of point×point and the centroid sums
+  are EXACT arithmetic on both engines regardless of fold order.
+- Centroid elements are ``exact-integer-sum / count`` — one IEEE
+  double division that both engines compute bit-identically. Cosine
+  is scale-invariant, so staying in e6 units changes nothing.
+- Every argmax/threshold comparison rounds the cosine to 6 decimals
+  first and tie-breaks on the id (the repo-wide convention), so a
+  last-ulp disagreement in point×centroid folds cannot flip an
+  assignment.
+
+Scale shape (the reason this survives 100 TB):
+- assignment = broadcast crossJoin against k centroids — O(N*k) map
+  work, zero shuffle of the big side;
+- centroid update = posexplode to (cluster, pos) with map-side
+  partial aggregation — the shuffle payload is O(k * dim), not
+  O(N * dim);
+- the prune join shuffles on the cluster id only; SemDeDup scales k
+  proportionally to N so per-cluster pair counts stay bounded.
+No Python anywhere: higher-order array functions + one window.
+
+Lloyd iterations are fixed (default 2) and the init is the first k
+vectors by id — deterministic, training-free, identical on both
+engines; production would run more rounds of the SAME dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+E6 = 1_000_000.0
+
+
+def _cos(a: Column, b: Column) -> Column:
+    """Cosine over two array<double> columns, JVM fold (codegen)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def _int_points(embeddings: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, p) with p the e6-integerized vector as array<double>
+    — exact integers, so sums/dots are order-free-exact."""
+    p = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(E6) + F.lit(0.5)).cast("double"))
+    return embeddings.select(F.col(id_col).alias("vec_id"), p.alias("p"))
+
+
+def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """argmax-cosine centroid per point: broadcast crossJoin (k rows),
+    round-6 + cid tie-break. Returns (vec_id, p, cluster)."""
+    pairs = pts.crossJoin(F.broadcast(cent))
+    pairs = pairs.withColumn(
+        "cc", F.round(_cos(F.col("p"), F.col("c")), 6))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc_nulls_last(), F.col("cid"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "p", F.col("cid").alias("cluster")))
+
+
+def kmeans_assignments(embeddings: DataFrame, k: int = 8,
+                       iters: int = 2) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's: init = first k vectors
+    by vec_id; each round reassigns (broadcast, O(N*k)) and rebuilds
+    centroids via posexplode + partial agg (shuffle O(k*dim)).
+    Returns (vec_id, p, cluster) after `iters` full rounds — i.e.
+    iters reassign+update cycles plus the final assignment.
+
+    Empty clusters simply drop out (both engines agree on that)."""
+    pts = _int_points(embeddings)
+    cent = (pts.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"), F.col("p").alias("c")))
+    for _ in range(iters):
+        assigned = _assign(pts, cent)
+        ex = assigned.select("cluster", F.posexplode("p").alias("pos", "v"))
+        agg = (ex.groupBy("cluster", "pos")
+               .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+        cent = (agg.groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col("pos").alias("pos"),
+                    (F.col("s") / F.col("n")).alias("m")))).alias("sm"))
+                .select(F.col("cluster").alias("cid"),
+                        F.transform("sm", lambda st: st["m"]).alias("c")))
+    return _assign(pts, cent)
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                   threshold: float = 0.3) -> DataFrame:
+    """SemDeDup: cluster, then within each cluster drop every vector
+    that has a LOWER-id cluster-mate with cosine >= threshold (the
+    kept vector is the canonical representative, mirroring
+    dedup.keep_best's lowest-id convention). Returns
+    (vec_id, cluster:int, keep:boolean), one row per input vector.
+
+    The pair join is cluster-key-bounded — never all-pairs."""
+    assigned = kmeans_assignments(embeddings, k, iters)
+    a = assigned.select(F.col("vec_id"), F.col("p"), F.col("cluster"))
+    b = assigned.select(F.col("vec_id").alias("b_id"),
+                        F.col("p").alias("b_p"),
+                        F.col("cluster").alias("b_cluster"))
+    dup_ids = (a.join(b, (F.col("cluster") == F.col("b_cluster"))
+                      & (F.col("vec_id") > F.col("b_id")))
+               .filter(F.round(_cos(F.col("p"), F.col("b_p")), 6)
+                       >= F.lit(threshold))
+               .select("vec_id").distinct()
+               .withColumn("_dup", F.lit(1)))
+    return (assigned.join(dup_ids, "vec_id", "left")
+            .select("vec_id",
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.col("_dup").isNull().alias("keep"))
+            .orderBy("vec_id"))

@@ -1,0 +1,73 @@
+"""SemDeDup (pipeline/semantic.py): constructed clusters, dup
+pruning semantics, and the lowest-id-representative convention."""
+
+from pyspark.sql import functions as F
+
+from larbin_spark.pipeline.semantic import (
+    kmeans_assignments, semantic_dedup,
+)
+
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _two_cluster_rows():
+    # two obvious cosine clusters around e0 and e1; vec 2/3 are
+    # near-dups of the seeds, vec 4 is same-cluster but far
+    return [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.02, 0.0]),
+        (4, [0.7, 0.0, 0.7, 0.0]),
+    ]
+
+
+def test_kmeans_groups_obvious_clusters(spark):
+    out = kmeans_assignments(_df(spark, _two_cluster_rows()),
+                             k=2, iters=2).collect()
+    cl = {r["vec_id"]: r["cluster"] for r in out}
+    assert cl[0] == cl[2] == cl[4]
+    assert cl[1] == cl[3]
+    assert cl[0] != cl[1]
+
+
+def test_semantic_dedup_prunes_within_cluster(spark):
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        _df(spark, _two_cluster_rows()), k=2, iters=2,
+        threshold=0.9).collect()}
+    assert len(out) == 5
+    # seeds are the lowest-id representatives -> kept
+    assert out[0]["keep"] and out[1]["keep"]
+    # near-dups of a lower-id cluster-mate -> dropped
+    assert not out[2]["keep"] and not out[3]["keep"]
+    # same cluster but cos(0,4) ~= 0.707 < 0.9 -> kept
+    assert out[4]["keep"]
+
+
+def test_threshold_one_epsilon_keeps_everything(spark):
+    # nothing reaches cosine 1.0+eps, so no vector is pruned
+    out = semantic_dedup(_df(spark, _two_cluster_rows()), k=2,
+                         iters=2, threshold=1.000001)
+    assert out.filter(~F.col("keep")).count() == 0
+
+
+def test_empty_cluster_drops_out(spark):
+    # k=3 on 2-cluster data: one centroid loses all points after the
+    # first reassignment; the result still covers every vector
+    rows = _two_cluster_rows() + [(5, [0.98, 0.02, 0.0, 0.0])]
+    out = semantic_dedup(_df(spark, rows), k=3, iters=2,
+                         threshold=0.9).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 1, 2, 3, 4, 5]
+    assert all(r["keep"] in (True, False) for r in out)
+
+
+def test_plan_broadcasts_centroids_not_points(spark):
+    # the O(N*k) assignment must broadcast the k-row centroid side;
+    # the point side must never appear in a BroadcastExchange
+    df = semantic_dedup(_df(spark, _two_cluster_rows()), k=2, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
