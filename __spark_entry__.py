@@ -260,6 +260,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic.semantic_dedup(_t(spark, sf, "embeddings"),
                                        k=8, iters=2, threshold=0.3)
 
+    def q_prototype(spark, sf):
+        # SSL-prototypes coreset: drop the 30% most prototypical
+        # vectors per k-means cluster (pipeline/semantic.py)
+        from larbin_spark.pipeline import semantic
+        return semantic.prototype_prune(_t(spark, sf, "embeddings"),
+                                        k=8, iters=2, prune_frac=0.3)
+
     def q_pagerank(spark, sf):
         from larbin_spark.pipeline import graph
         return graph.pagerank(_t(spark, sf, "documents"), k_iters=3)
@@ -513,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_training_shuffle": q_training_shuffle,
         "ann_quantize": q_quantize,
         "dedup_semantic": q_semantic,
+        "curation_prototype_prune": q_prototype,
         "graph_pagerank": q_pagerank,
         "graph_indegree": q_indegree,
         "streaming_intake": q_streaming_intake,
@@ -575,18 +583,19 @@ def _lsh_planes_sql(n_planes: int = 8, offset: int = 0) -> str:
     return " + ".join(terms)
 
 
-def _semantic_sql(k: int = 8, iters: int = 2,
-                  threshold: float = 0.3) -> str:
-    """DuckDB re-implementation of pipeline.semantic.semantic_dedup:
-    e6-integerized points (exact integer dots/sums on both engines),
-    fixed-iteration Lloyd's with first-k init, round-6 + lowest-cid
-    argmax, then within-cluster lower-id cosine pruning. The iteration
-    CTEs are generated to mirror the Spark loop 1:1."""
-    def cos(a, b):
-        return (f"list_dot_product({a}, {b}) / "
-                f"(sqrt(list_dot_product({a}, {a})) * "
-                f"sqrt(list_dot_product({b}, {b})))")
+def _kmeans_cos_sql(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))")
 
+
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+    """Generated WITH-chain mirroring pipeline.semantic's fixed-
+    iteration Lloyd loop 1:1: e6-integerized points (exact integer
+    dots/sums on both engines), first-k init, round-6 + lowest-cid
+    argmax, centroids = exact-integer-sum / count. Ends at
+    asg{iters} (vec_id, p, cluster, cc)."""
+    cos = _kmeans_cos_sql
     parts = [
         "WITH pts AS (\n"
         "  SELECT vec_id, list_transform(embedding::DOUBLE[],\n"
@@ -597,8 +606,9 @@ def _semantic_sql(k: int = 8, iters: int = 2,
     for i in range(iters + 1):
         parts.append(
             f"asg{i} AS (\n"
-            f"  SELECT vec_id, p, cid AS cluster FROM (\n"
+            f"  SELECT vec_id, p, cid AS cluster, cc FROM (\n"
             f"    SELECT pts.vec_id, pts.p, c.cid,\n"
+            f"           round({cos('pts.p', 'c.c')}, 6) AS cc,\n"
             f"           row_number() OVER (PARTITION BY pts.vec_id\n"
             f"             ORDER BY round({cos('pts.p', 'c.c')}, 6)"
             f" DESC NULLS LAST, c.cid) AS rn\n"
@@ -613,16 +623,40 @@ def _semantic_sql(k: int = 8, iters: int = 2,
                 f" FROM (\n"
                 f"    SELECT cluster, pos, sum(v) / count(*) AS m\n"
                 f"    FROM ex{i} GROUP BY 1, 2) GROUP BY cluster)")
-    parts.append(
-        f"dups AS (SELECT DISTINCT a.vec_id\n"
-        f"  FROM asg{iters} a JOIN asg{iters} b\n"
-        f"    ON a.cluster = b.cluster AND a.vec_id > b.vec_id\n"
-        f"  WHERE round({cos('a.p', 'b.p')}, 6) >= {threshold})")
-    return (",\n".join(parts) + f"""
+    return ",\n".join(parts)
+
+
+def _semantic_sql(k: int = 8, iters: int = 2,
+                  threshold: float = 0.3) -> str:
+    """DuckDB re-implementation of semantic.semantic_dedup: the
+    shared Lloyd CTE chain, then within-cluster lower-id cosine
+    pruning."""
+    return (_kmeans_ctes(k, iters) + f""",
+dups AS (SELECT DISTINCT a.vec_id
+  FROM asg{iters} a JOIN asg{iters} b
+    ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+  WHERE round({_kmeans_cos_sql('a.p', 'b.p')}, 6) >= {threshold})
 SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
        (d.vec_id IS NULL) AS keep
 FROM asg{iters} a LEFT JOIN dups d USING (vec_id)
 ORDER BY a.vec_id""")
+
+
+def _prototype_sql(k: int = 8, iters: int = 2,
+                   prune_frac: float = 0.3) -> str:
+    """DuckDB re-implementation of semantic.prototype_prune: the
+    shared Lloyd CTE chain, then per-cluster prototypicality rank
+    (cosine-to-centroid DESC, vec_id tie-break) with the top
+    floor(size * prune_frac) dropped."""
+    return (_kmeans_ctes(k, iters) + f"""
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cc AS cos_c,
+       (rnk > floor(n * {prune_frac})) AS keep
+FROM (SELECT vec_id, cluster, cc,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY cc DESC NULLS LAST, vec_id) AS rnk,
+        count(*) OVER (PARTITION BY cluster) AS n
+      FROM asg{iters})
+ORDER BY vec_id""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1229,6 +1263,8 @@ FROM m ORDER BY vec_id""",
         # SemDeDup: the generated CTE chain mirrors the Spark Lloyd
         # loop iteration-for-iteration (see _semantic_sql)
         "dedup_semantic": _semantic_sql(k=8, iters=2, threshold=0.3),
+        "curation_prototype_prune": _prototype_sql(k=8, iters=2,
+                                                   prune_frac=0.3),
         "graph_pagerank": pagerank_sql,
         "graph_indegree": indegree_sql,
         "crawl_url_filter": url_filter_sql,

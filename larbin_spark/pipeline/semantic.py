@@ -70,7 +70,9 @@ def _int_points(embeddings: DataFrame, id_col: str = "vec_id",
 
 def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     """argmax-cosine centroid per point: broadcast crossJoin (k rows),
-    round-6 + cid tie-break. Returns (vec_id, p, cluster)."""
+    round-6 + cid tie-break. Returns (vec_id, p, cluster, cc) with cc
+    the rounded cosine to the winning centroid (the prototypicality
+    score prototype_prune ranks on)."""
     pairs = pts.crossJoin(F.broadcast(cent))
     pairs = pairs.withColumn(
         "cc", F.round(_cos(F.col("p"), F.col("c")), 6))
@@ -78,7 +80,7 @@ def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
         F.col("cc").desc_nulls_last(), F.col("cid"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "p", F.col("cid").alias("cluster")))
+            .select("vec_id", "p", F.col("cid").alias("cluster"), "cc"))
 
 
 def kmeans_assignments(embeddings: DataFrame, k: int = 8,
@@ -131,4 +133,32 @@ def semantic_dedup(embeddings: DataFrame, k: int = 8, iters: int = 2,
             .select("vec_id",
                     F.col("cluster").cast("int").alias("cluster"),
                     F.col("_dup").isNull().alias("keep"))
+            .orderBy("vec_id"))
+
+
+def prototype_prune(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                    prune_frac: float = 0.3) -> DataFrame:
+    """SSL-prototypes-style coreset selection (Sorscher et al.,
+    arXiv:2206.14486): within each k-means cluster, DROP the
+    `prune_frac` most prototypical vectors (highest cosine to their
+    centroid — the easy, redundant examples) and keep the diverse
+    tail. Returns (vec_id, cluster:int, cos_c, keep), one row per
+    input vector; drop count per cluster = floor(size * prune_frac).
+
+    Ranking + counting share one hash-partition by cluster (two
+    window functions over the same key, a single exchange); nothing
+    here is pairwise, so the op is O(N log per-cluster-size) after
+    the same bounded k-means as semantic_dedup."""
+    assigned = kmeans_assignments(embeddings, k, iters)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cc").desc_nulls_last(), F.col("vec_id"))
+    wn = Window.partitionBy("cluster")
+    return (assigned
+            .withColumn("rnk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .select("vec_id",
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.col("cc").alias("cos_c"),
+                    (F.col("rnk") > F.floor(
+                        F.col("n") * F.lit(prune_frac))).alias("keep"))
             .orderBy("vec_id"))

@@ -4,7 +4,7 @@ pruning semantics, and the lowest-id-representative convention."""
 from pyspark.sql import functions as F
 
 from larbin_spark.pipeline.semantic import (
-    kmeans_assignments, semantic_dedup,
+    kmeans_assignments, prototype_prune, semantic_dedup,
 )
 
 SCHEMA = "vec_id long, embedding array<float>"
@@ -63,6 +63,30 @@ def test_empty_cluster_drops_out(spark):
                          threshold=0.9).collect()
     assert sorted(r["vec_id"] for r in out) == [0, 1, 2, 3, 4, 5]
     assert all(r["keep"] in (True, False) for r in out)
+
+
+def test_prototype_prune_drops_most_prototypical(spark):
+    # cluster around e0 with one far member: vec 0/2 are closest to
+    # the centroid, vec 4 is the diverse tail; prune_frac=0.4 on a
+    # 3-member cluster drops floor(3*0.4)=1 -> exactly the single
+    # most prototypical member goes
+    out = {r["vec_id"]: r for r in prototype_prune(
+        _df(spark, _two_cluster_rows()), k=2, iters=2,
+        prune_frac=0.4).collect()}
+    assert len(out) == 5
+    a = [v for v in out.values() if v["cluster"] == out[0]["cluster"]]
+    dropped = [v["vec_id"] for v in a if not v["keep"]]
+    assert len(dropped) == 1
+    # the diverse far member is never the one dropped
+    assert dropped != [4]
+    # scores are ordered: cos_c(dropped) is the cluster max
+    assert max(v["cos_c"] for v in a) == out[dropped[0]]["cos_c"]
+
+
+def test_prototype_prune_frac_zero_keeps_all(spark):
+    out = prototype_prune(_df(spark, _two_cluster_rows()), k=2,
+                          iters=1, prune_frac=0.0)
+    assert out.filter(~F.col("keep")).count() == 0
 
 
 def test_plan_broadcasts_centroids_not_points(spark):
