@@ -224,6 +224,43 @@ CHECKS = {
          "exchange is the presentation sort)",
          lambda p: _n_hash_exchanges(p) == 0),
     ],
+    "spans_profile": [
+        ("pure JVM higher-order span-array functions (no Python)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("stateless row map over the spans column: zero "
+         "hash-partition shuffles",
+         lambda p: _n_hash_exchanges(p) == 0),
+    ],
+    "dedup_semantic": [
+        ("pure JVM k-means + pruning (no Python stage)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("no cartesian product: the only nested-loop joins are the "
+         "broadcast k-row centroid assignments",
+         lambda p: "CartesianProduct" not in p),
+        ("every broadcast is a k-bounded centroid side (subtree has "
+         "the vec_id<k Filter or the k-row HashAggregate rebuild), "
+         "never the unfiltered point scan",
+         lambda p: _centroid_broadcasts_only(p)),
+        ("centroid update partial-aggregates map-side (shuffle "
+         "payload O(k*dim), not O(N*dim))",
+         lambda p: "partial_sum" in p),
+        ("the dup-pair join is hash-keyed on the cluster id, "
+         "never all-pairs",
+         lambda p: p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
+         + p.count("BroadcastHashJoin") >= 1),
+    ],
+    "curation_prototype_prune": [
+        ("pure JVM k-means + rank (no Python stage)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("no cartesian product",
+         lambda p: "CartesianProduct" not in p),
+        ("prototypicality rank + cluster count share one window "
+         "partitioning (both window ops present)",
+         lambda p: "row_number" in p and "count(1)" in p),
+    ],
     "curation_pii_scrub": [
         ("pure JVM regexp_count/regexp_replace (no Python at all)",
          lambda p: "ArrowEvalPython" not in p
@@ -308,6 +345,20 @@ def _subtree_of(plan: str, node_id: str) -> str:
                 sub.append(l2)
             return "\n".join(sub)
     return ""
+
+
+def _centroid_broadcasts_only(plan: str) -> bool:
+    """semantic.py assignment joins must broadcast the k-bounded
+    centroid side only: every BroadcastExchange subtree has to carry
+    either the vec_id<k init Filter or the k-row centroid-rebuild
+    HashAggregate; a bare Project+Scan subtree is the unfiltered
+    point side leaking into a broadcast."""
+    for m in re.finditer(r"BroadcastExchange[^\n(]*\((\d+)\)\s*$", plan,
+                         re.MULTILINE):
+        sub = _subtree_of(plan, m.group(1))
+        if "Filter" not in sub and "HashAggregate" not in sub:
+            return False
+    return True
 
 
 _SLOT_COL_MARKERS = ("dns_state", "ff_state", "ff_forbidden", "nburls")
