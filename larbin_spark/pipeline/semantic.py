@@ -92,10 +92,12 @@ def kmeans_assignments(embeddings: DataFrame, k: int = 8,
     iters reassign+update cycles plus the final assignment.
 
     Empty clusters simply drop out (both engines agree on that)."""
+    from ..operators.sequence import PLAN_PROBE
+
     pts = _int_points(embeddings)
     cent = (pts.filter(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"), F.col("p").alias("c")))
-    for _ in range(iters):
+    for i in range(iters):
         assigned = _assign(pts, cent)
         ex = assigned.select("cluster", F.posexplode("p").alias("pos", "v"))
         agg = (ex.groupBy("cluster", "pos")
@@ -106,6 +108,15 @@ def kmeans_assignments(embeddings: DataFrame, k: int = 8,
                     (F.col("s") / F.col("n")).alias("m")))).alias("sm"))
                 .select(F.col("cluster").alias("cid"),
                         F.transform("sm", lambda st: st["m"]).alias("c")))
+        # Each rebuilt centroid table is k rows but its lineage nests
+        # the whole previous iteration TWICE (assigned feeds both the
+        # explode and, through _assign, the next reassignment) — the
+        # plan would grow ~2^iters. Materialize the k rows eagerly
+        # (trivial) so every iteration's plan is one scan + one
+        # broadcast join deep; the pre-checkpoint plan stays audited
+        # via PLAN_PROBE (same convention as assign_global_seq).
+        PLAN_PROBE[f"kmeans:cent{i + 1}"] = cent
+        cent = cent.localCheckpoint(eager=True)
     return _assign(pts, cent)
 
 
@@ -118,7 +129,13 @@ def semantic_dedup(embeddings: DataFrame, k: int = 8, iters: int = 2,
     (vec_id, cluster:int, keep:boolean), one row per input vector.
 
     The pair join is cluster-key-bounded — never all-pairs."""
+    from ..operators.sequence import PLAN_PROBE
+
     assigned = kmeans_assignments(embeddings, k, iters)
+    # the final assignment feeds BOTH pair-join sides and the output
+    # row set — one lazy materialization instead of three evaluations
+    PLAN_PROBE["kmeans:assigned"] = assigned
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(F.col("vec_id"), F.col("p"), F.col("cluster"))
     b = assigned.select(F.col("vec_id").alias("b_id"),
                         F.col("p").alias("b_p"),

@@ -91,7 +91,13 @@ def test_prototype_prune_frac_zero_keeps_all(spark):
 
 def test_plan_broadcasts_centroids_not_points(spark):
     # the O(N*k) assignment must broadcast the k-row centroid side;
-    # the point side must never appear in a BroadcastExchange
-    df = semantic_dedup(_df(spark, _two_cluster_rows()), k=2, iters=1)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the assignment join sits behind the lazy checkpoint, so inspect
+    # the registered pre-checkpoint probe (the audited surface)
+    from larbin_spark.operators.sequence import PLAN_PROBE
+    semantic_dedup(_df(spark, _two_cluster_rows()), k=2, iters=1)
+    probe = PLAN_PROBE["kmeans:assigned"]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # and the lineage is truncated: the probe's plan reads the
+    # checkpointed k-row centroids, not a nested Lloyd chain
+    assert "ExistingRDD" in plan

@@ -349,14 +349,15 @@ def _subtree_of(plan: str, node_id: str) -> str:
 
 def _centroid_broadcasts_only(plan: str) -> bool:
     """semantic.py assignment joins must broadcast the k-bounded
-    centroid side only: every BroadcastExchange subtree has to carry
-    either the vec_id<k init Filter or the k-row centroid-rebuild
-    HashAggregate; a bare Project+Scan subtree is the unfiltered
-    point side leaking into a broadcast."""
+    centroid side only: a BroadcastExchange subtree may carry the
+    vec_id<k init Filter, the k-row centroid-rebuild HashAggregate,
+    or the checkpointed k-row centroid (ExistingRDD) — an unfiltered
+    parquet scan in a broadcast is the point side leaking in."""
     for m in re.finditer(r"BroadcastExchange[^\n(]*\((\d+)\)\s*$", plan,
                          re.MULTILINE):
         sub = _subtree_of(plan, m.group(1))
-        if "Filter" not in sub and "HashAggregate" not in sub:
+        if ("Scan parquet" in sub and "Filter" not in sub
+                and "HashAggregate" not in sub):
             return False
     return True
 
@@ -494,6 +495,11 @@ PRE_CHECKPOINT_PROBES = {
     "curation_training_shuffle":
         ["global_seq:_shuf_key,doc_id->shuffle_pos"],
     "analytics_quantiles": ["group_cumsum:_g->cum"],
+    # the Lloyd loop eager-checkpoints each k-row centroid rebuild
+    # and lazily checkpoints the final assignment; audit all of them
+    "dedup_semantic": ["kmeans:cent1", "kmeans:cent2",
+                       "kmeans:assigned"],
+    "curation_prototype_prune": ["kmeans:cent1", "kmeans:cent2"],
 }
 
 
