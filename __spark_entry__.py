@@ -650,7 +650,7 @@ def _prototype_sql(k: int = 8, iters: int = 2,
     floor(size * prune_frac) dropped."""
     return (_kmeans_ctes(k, iters) + f"""
 SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cc AS cos_c,
-       (rnk > floor(n * {prune_frac})) AS keep
+       (rnk > floor(n * CAST({prune_frac!r} AS DOUBLE))) AS keep
 FROM (SELECT vec_id, cluster, cc,
         row_number() OVER (PARTITION BY cluster
           ORDER BY cc DESC NULLS LAST, vec_id) AS rnk,

@@ -16,11 +16,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine_expr(a: str, b: str):
+def cosine_expr(a, b):
     """JVM-side cosine via zip_with + aggregate (whole-stage codegen;
-    no UDF)."""
-    ac = F.transform(F.col(a), lambda x: x.cast("double"))
-    bc = F.transform(F.col(b), lambda x: x.cast("double"))
+    no UDF). Accepts column names or Column expressions; this is THE
+    engine-parity-critical cosine fold — semantic.py's k-means shares
+    it rather than re-deriving the fold order."""
+    ac = F.transform(F.col(a) if isinstance(a, str) else a,
+                     lambda x: x.cast("double"))
+    bc = F.transform(F.col(b) if isinstance(b, str) else b,
+                     lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ac, bc, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(ac, lambda x: x * x),

@@ -25,14 +25,17 @@ against a DuckDB re-implementation, see __spark_entry__.oracle_sql):
   assignment.
 
 Scale shape (the reason this survives 100 TB):
-- assignment = broadcast crossJoin against k centroids — O(N*k) map
-  work, zero shuffle of the big side;
+- assignment = a FOLD over the broadcast k-element centroid array —
+  O(N*k) map work as a pure per-row expression, ZERO exchanges of
+  the corpus side (no candidate explosion, no per-vector window;
+  the 'kmeans:assigned' plan probe asserts zero hash exchanges);
 - centroid update = posexplode to (cluster, pos) with map-side
   partial aggregation — the shuffle payload is O(k * dim), not
   O(N * dim);
 - the prune join shuffles on the cluster id only; SemDeDup scales k
   proportionally to N so per-cluster pair counts stay bounded.
-No Python anywhere: higher-order array functions + one window.
+No Python anywhere: higher-order array functions + one window (the
+per-cluster prototypicality rank).
 
 Lloyd iterations are fixed (default 2) and the init is the first k
 vectors by id — deterministic, training-free, identical on both
@@ -41,21 +44,12 @@ engines; production would run more rounds of the SAME dataflow.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ann import cosine_expr as _cos
+
 E6 = 1_000_000.0
-
-
-def _cos(a: Column, b: Column) -> Column:
-    """Cosine over two array<double> columns, JVM fold (codegen)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
 
 
 def _int_points(embeddings: DataFrame, id_col: str = "vec_id",
@@ -69,30 +63,59 @@ def _int_points(embeddings: DataFrame, id_col: str = "vec_id",
 
 
 def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    """argmax-cosine centroid per point: broadcast crossJoin (k rows),
-    round-6 + cid tie-break. Returns (vec_id, p, cluster, cc) with cc
-    the rounded cosine to the winning centroid (the prototypicality
+    """argmax-cosine centroid per point, SHUFFLE-FREE: the k centroids
+    are collect_list'd into ONE sorted array row, broadcast onto the
+    point scan, and the argmax runs as a fold over that array — a
+    pure per-row map, no candidate explosion, no window, zero hash
+    exchanges of the corpus side (plan-audited via the
+    'kmeans:assigned' probe).
+
+    Semantics are exactly the window form's
+    `ORDER BY round(cos, 6) DESC NULLS LAST, cid` (which is what the
+    DuckDB oracle runs): the fold walks cids ascending, starts on the
+    first centroid, and replaces only on a strictly higher non-null
+    rounded cosine — so ties keep the lowest cid and an all-null row
+    lands on the lowest cid. Returns (vec_id, p, cluster, cc) with cc
+    the round-6 cosine to the winning centroid (the prototypicality
     score prototype_prune ranks on)."""
-    pairs = pts.crossJoin(F.broadcast(cent))
-    pairs = pairs.withColumn(
-        "cc", F.round(_cos(F.col("p"), F.col("c")), 6))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cc").desc_nulls_last(), F.col("cid"))
-    return (pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "p", F.col("cid").alias("cluster"), "cc"))
+    cents = cent.select(F.array_sort(F.collect_list(F.struct(
+        F.col("cid").alias("cid"), F.col("c").alias("c")))).alias("cents"))
+    joined = pts.crossJoin(F.broadcast(cents))
+    scored = F.transform(
+        F.col("cents"),
+        lambda x: F.struct(
+            F.round(_cos(F.col("p"), x["c"]), 6).alias("cc"),
+            x["cid"].alias("cid")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(None).cast("double").alias("cc"),
+                 F.lit(None).cast("long").alias("cid")),
+        lambda acc, x: F.when(
+            acc["cid"].isNull()
+            | (x["cc"].isNotNull()
+               & (acc["cc"].isNull() | (x["cc"] > acc["cc"]))),
+            x).otherwise(acc))
+    return joined.select(
+        "vec_id", "p",
+        best["cid"].alias("cluster"), best["cc"].alias("cc"))
 
 
 def kmeans_assignments(embeddings: DataFrame, k: int = 8,
                        iters: int = 2) -> DataFrame:
     """Deterministic fixed-iteration Lloyd's: init = first k vectors
-    by vec_id; each round reassigns (broadcast, O(N*k)) and rebuilds
-    centroids via posexplode + partial agg (shuffle O(k*dim)).
-    Returns (vec_id, p, cluster) after `iters` full rounds — i.e.
-    iters reassign+update cycles plus the final assignment.
+    by vec_id; each round reassigns (broadcast fold, O(N*k) map work,
+    zero exchanges) and rebuilds centroids via posexplode + partial
+    agg (shuffle O(k*dim)). Returns (vec_id, p, cluster, cc) after
+    `iters` full rounds — iters reassign+update cycles plus the final
+    assignment; cc is the ROUND-6 cosine to the winning centroid
+    (prototype_prune ranks on it — keep the rounding convention).
 
     Empty clusters simply drop out (both engines agree on that)."""
     from ..operators.sequence import PLAN_PROBE
+
+    for key in [x for x in PLAN_PROBE if x.startswith("kmeans:")]:
+        del PLAN_PROBE[key]  # stale probes from a previous call with
+    # different iters must fail loud (KeyError), not audit silently
 
     pts = _int_points(embeddings)
     cent = (pts.filter(F.col("vec_id") < k)

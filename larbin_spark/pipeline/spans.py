@@ -76,7 +76,9 @@ def write_spans_parquet(path: str, n: int = 96) -> None:
          "spans": [r[1] for r in rows]},
         schema=schema)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    # pid-unique tmp: two concurrent writers (contract run + pytest)
+    # must never share a tmp inode mid-write (multimodal's pattern)
+    tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
 

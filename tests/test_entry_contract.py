@@ -125,7 +125,8 @@ def test_bare_session_contract_subset():
                      "curation_training_shuffle",
                      "curation_pii_scrub", "ann_quantize",
                      "graph_pagerank", "streaming_intake",
-                     "analytics_quantiles", "spans_profile"]:
+                     "analytics_quantiles", "spans_profile",
+                     "dedup_semantic", "curation_prototype_prune"]:
             sdf = qs[name](spark, SF)
             cols = sorted(sdf.columns)
             srows = sorted(tuple(norm(r[c]) for c in cols)

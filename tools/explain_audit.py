@@ -17,13 +17,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+_PROBE_MARK = "-- pre-checkpoint stage (operators.sequence.PLAN_PROBE["
+
+
+def _main_section(p: str) -> str:
+    """The query's own plan text, without the appended probe plans."""
+    return p.split(_PROBE_MARK)[0]
+
+
+def _probe_section(p: str, key: str) -> str:
+    """The plan text of one PLAN_PROBE section (empty if absent)."""
+    for seg in p.split(_PROBE_MARK)[1:]:
+        if seg.startswith(f"{key!r}]"):
+            return seg
+    return ""
+
+
+def _probe_plans(p: str) -> str:
+    """All appended PLAN_PROBE sections (empty if none)."""
+    _, _, rest = p.partition(_PROBE_MARK)
+    return rest
+
+
 def _n_hash_exchanges(p: str) -> int:
-    """Count shuffle exchanges partitioned by hash (the formatted
-    explain lists each node once in the details section as
-    'Arguments: hashpartitioning(...)'); range exchanges from a final
-    presentation orderBy are not shuffles that grow with scale-out
-    concern here and are counted separately."""
-    return p.count("hashpartitioning(")
+    """Count shuffle exchanges partitioned by hash — ONLY the
+    Exchange nodes' own details lines ('Arguments:
+    hashpartitioning(...)'). A bare substring count would also match
+    the outputPartitioning metadata that `Scan ExistingRDD` prints
+    for checkpointed tables, inflating the count with shuffles that
+    do not exist in this plan. Range exchanges from a final
+    presentation orderBy are not counted."""
+    return p.count("Arguments: hashpartitioning(")
 
 
 # query name -> list of (check name, predicate over plan text)
@@ -237,19 +261,28 @@ CHECKS = {
          lambda p: "ArrowEvalPython" not in p
          and "BatchEvalPython" not in p and "MapInPandas" not in p),
         ("no cartesian product: the only nested-loop joins are the "
-         "broadcast k-row centroid assignments",
+         "single-row broadcast centroid-array attachments",
          lambda p: "CartesianProduct" not in p),
-        ("every broadcast is a k-bounded centroid side (subtree has "
-         "the vec_id<k Filter or the k-row HashAggregate rebuild), "
-         "never the unfiltered point scan",
-         lambda p: _centroid_broadcasts_only(p)),
+        ("in the assignment probes every broadcast subtree is "
+         "k-bounded (the vec_id<k init Filter or the collect_list "
+         "centroid-array aggregate) — a broadcast of any bare scan, "
+         "parquet OR checkpointed points, fails (the main plan's "
+         "pair-join sides are the planner's size-based choice and "
+         "flip to SMJ at scale)",
+         lambda p: _centroid_broadcasts_only(_probe_plans(p))),
         ("centroid update partial-aggregates map-side (shuffle "
          "payload O(k*dim), not O(N*dim))",
          lambda p: "partial_sum" in p),
-        ("the dup-pair join is hash-keyed on the cluster id, "
-         "never all-pairs",
-         lambda p: p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
-         + p.count("BroadcastHashJoin") >= 1),
+        ("the assignment fold is shuffle-free: zero hash exchanges "
+         "in the kmeans:assigned probe plan",
+         lambda p: _probe_section(p, "kmeans:assigned") != ""
+         and _n_hash_exchanges(_probe_section(p, "kmeans:assigned"))
+         == 0),
+        ("the dup-pair join is an equi-join KEYED on the cluster id "
+         "(join keys [cluster...] in the query's own plan) — never "
+         "all-pairs",
+         lambda p: re.search(r"keys \[\d+\]: \[cluster",
+                             _main_section(p)) is not None),
     ],
     "curation_prototype_prune": [
         ("pure JVM k-means + rank (no Python stage)",
@@ -258,8 +291,11 @@ CHECKS = {
         ("no cartesian product",
          lambda p: "CartesianProduct" not in p),
         ("prototypicality rank + cluster count share one window "
-         "partitioning (both window ops present)",
-         lambda p: "row_number" in p and "count(1)" in p),
+         "partitioning: exactly ONE hash exchange in the query's "
+         "own plan (the cluster window; the assignment fold adds "
+         "none)",
+         lambda p: "row_number" in p and "count(1)" in p
+         and _n_hash_exchanges(_main_section(p)) == 1),
     ],
     "curation_pii_scrub": [
         ("pure JVM regexp_count/regexp_replace (no Python at all)",
@@ -349,15 +385,15 @@ def _subtree_of(plan: str, node_id: str) -> str:
 
 def _centroid_broadcasts_only(plan: str) -> bool:
     """semantic.py assignment joins must broadcast the k-bounded
-    centroid side only: a BroadcastExchange subtree may carry the
-    vec_id<k init Filter, the k-row centroid-rebuild HashAggregate,
-    or the checkpointed k-row centroid (ExistingRDD) — an unfiltered
-    parquet scan in a broadcast is the point side leaking in."""
+    centroid side only: a BroadcastExchange subtree must carry the
+    vec_id<k init Filter or an aggregate (the collect_list
+    centroid-array build / the dup-id distinct). A broadcast of any
+    BARE scan — the parquet points or the checkpointed point table
+    (Scan ExistingRDD) — is the corpus side leaking in and fails."""
     for m in re.finditer(r"BroadcastExchange[^\n(]*\((\d+)\)\s*$", plan,
                          re.MULTILINE):
         sub = _subtree_of(plan, m.group(1))
-        if ("Scan parquet" in sub and "Filter" not in sub
-                and "HashAggregate" not in sub):
+        if "Filter" not in sub and "HashAggregate" not in sub:
             return False
     return True
 
