@@ -260,6 +260,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic.semantic_dedup(_t(spark, sf, "embeddings"),
                                        k=8, iters=2, threshold=0.3)
 
+    def q_bpe(spark, sf):
+        # distributed BPE merge induction: 3 rounds of corpus-wide
+        # top-pair selection + greedy left-to-right rewrite folds
+        # (pipeline/bpe.py); the oracle regenerates the identical
+        # count -> top-1 -> list_reduce rounds as CTEs
+        from larbin_spark.pipeline import bpe
+        return bpe.bpe_merge_rounds(_t(spark, sf, "documents"),
+                                    k_rounds=3)
+
     def q_prototype(spark, sf):
         # SSL-prototypes coreset: drop the 30% most prototypical
         # vectors per k-means cluster (pipeline/semantic.py)
@@ -521,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantize": q_quantize,
         "dedup_semantic": q_semantic,
         "curation_prototype_prune": q_prototype,
+        "text_bpe_merges": q_bpe,
         "graph_pagerank": q_pagerank,
         "graph_indegree": q_indegree,
         "streaming_intake": q_streaming_intake,
@@ -624,6 +634,55 @@ def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
                 f"    SELECT cluster, pos, sum(v) / count(*) AS m\n"
                 f"    FROM ex{i} GROUP BY 1, 2) GROUP BY cluster)")
     return ",\n".join(parts)
+
+
+def _bpe_sql(k_rounds: int = 3) -> str:
+    """DuckDB re-implementation of pipeline.bpe.bpe_merge_rounds:
+    per round, adjacent-pair counts (aligned unnest of the two
+    shifted slices), deterministic top-1 (cnt DESC, pair ASC), and
+    the greedy left-to-right merge as list_reduce over
+    single-element lists — whose implicit first-element init is
+    exactly the Spark fold's F.slice(toks, 1, 1) seed."""
+    parts = [
+        "WITH t0 AS (\n"
+        "  SELECT doc_id, len(toks) AS n0, toks FROM (\n"
+        "    SELECT doc_id,\n"
+        "      list_filter(regexp_split_to_array(\n"
+        "        lower(coalesce(text, '')), '[^a-z0-9]+'),\n"
+        "        x -> x <> '') AS toks\n"
+        "    FROM documents))"]
+    for r in range(1, k_rounds + 1):
+        parts.append(
+            f"p{r} AS (\n"
+            f"  SELECT a, b, count(*) AS cnt FROM (\n"
+            f"    SELECT unnest(toks[1:len(toks) - 1]) AS a,\n"
+            f"           unnest(toks[2:len(toks)]) AS b\n"
+            f"    FROM t{r - 1} WHERE len(toks) >= 2)\n"
+            f"  GROUP BY 1, 2)")
+        parts.append(
+            f"w{r} AS (SELECT a, b, cnt FROM p{r}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)")
+        parts.append(
+            f"t{r} AS (\n"
+            f"  SELECT doc_id, n0,\n"
+            f"    CASE WHEN len(toks) < 2 THEN toks ELSE\n"
+            f"      list_reduce(list_transform(toks, x -> [x]),\n"
+            f"        (acc, x) -> CASE\n"
+            f"          WHEN acc[-1] = w.a AND x[1] = w.b\n"
+            f"          THEN list_concat(acc[1:len(acc) - 1],"
+            f" [w.a || w.b])\n"
+            f"          ELSE list_concat(acc, x) END)\n"
+            f"    END AS toks\n"
+            f"  FROM t{r - 1} CROSS JOIN w{r} w)")
+    merge_cols = ",\n       ".join(
+        f"(SELECT a || b FROM w{r}) AS m{r},\n"
+        f"       (SELECT cnt FROM w{r}) AS cnt{r}"
+        for r in range(1, k_rounds + 1))
+    return (",\n".join(parts) + f"""
+SELECT doc_id, CAST(n0 AS INTEGER) AS n_tok0,
+       CAST(len(toks) AS INTEGER) AS n_tok{k_rounds},
+       {merge_cols}
+FROM t{k_rounds} ORDER BY doc_id""")
 
 
 def _semantic_sql(k: int = 8, iters: int = 2,
@@ -1265,6 +1324,7 @@ FROM m ORDER BY vec_id""",
         "dedup_semantic": _semantic_sql(k=8, iters=2, threshold=0.3),
         "curation_prototype_prune": _prototype_sql(k=8, iters=2,
                                                    prune_frac=0.3),
+        "text_bpe_merges": _bpe_sql(k_rounds=3),
         "graph_pagerank": pagerank_sql,
         "graph_indegree": indegree_sql,
         "crawl_url_filter": url_filter_sql,

@@ -284,6 +284,20 @@ CHECKS = {
          lambda p: re.search(r"keys \[\d+\]: \[cluster",
                              _main_section(p)) is not None),
     ],
+    "text_bpe_merges": [
+        ("pure JVM token folds (no Python stage)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("the K chained merge rewrites are map-only: zero hash "
+         "exchanges in the query's own plan",
+         lambda p: _n_hash_exchanges(_main_section(p)) == 0),
+        ("pair counting partial-aggregates map-side (shuffle payload "
+         "O(distinct pairs), not O(tokens))",
+         lambda p: "partial_count" in _probe_section(p, "bpe:top1")),
+        ("top-pair selection is a TakeOrdered, never a global sort",
+         lambda p: all("TakeOrderedAndProject" in _probe_section(p, k)
+                       for k in ("bpe:top1", "bpe:top2", "bpe:top3"))),
+    ],
     "curation_prototype_prune": [
         ("pure JVM k-means + rank (no Python stage)",
          lambda p: "ArrowEvalPython" not in p
@@ -536,6 +550,9 @@ PRE_CHECKPOINT_PROBES = {
     "dedup_semantic": ["kmeans:cent1", "kmeans:cent2",
                        "kmeans:assigned"],
     "curation_prototype_prune": ["kmeans:cent1", "kmeans:cent2"],
+    # the per-round top-pair plans are consumed at build time (one
+    # bounded driver row each); audited via the registered probes
+    "text_bpe_merges": ["bpe:top1", "bpe:top2", "bpe:top3"],
 }
 
 
