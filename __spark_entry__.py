@@ -662,10 +662,25 @@ def _bpe_sql(k_rounds: int = 3) -> str:
         parts.append(
             f"w{r} AS (SELECT a, b, cnt FROM p{r}"
             f" ORDER BY cnt DESC, a, b LIMIT 1)")
+        # the rewrite mirrors bpe.merge_pair_expr's two forms: the
+        # O(n) positional transform when the learned pair is not a
+        # self-pair (merge sites provably non-overlapping), else the
+        # left-to-right fold
         parts.append(
             f"t{r} AS (\n"
             f"  SELECT doc_id, n0,\n"
-            f"    CASE WHEN len(toks) < 2 THEN toks ELSE\n"
+            f"    CASE WHEN len(toks) < 2 THEN toks\n"
+            f"    WHEN w.a <> w.b THEN\n"
+            f"      list_filter(list_transform(\n"
+            f"        range(1, len(toks) + 1),\n"
+            f"        i -> CASE\n"
+            f"          WHEN i > 1 AND toks[i - 1] = w.a\n"
+            f"               AND toks[i] = w.b THEN NULL\n"
+            f"          WHEN toks[i] = w.a AND toks[i + 1] = w.b\n"
+            f"               THEN w.a || w.b\n"
+            f"          ELSE toks[i] END),\n"
+            f"        x -> x IS NOT NULL)\n"
+            f"    ELSE\n"
             f"      list_reduce(list_transform(toks, x -> [x]),\n"
             f"        (acc, x) -> CASE\n"
             f"          WHEN acc[-1] = w.a AND x[1] = w.b\n"

@@ -61,19 +61,50 @@ def pair_counts(docs_tok: DataFrame, tok_col: str = "toks") -> DataFrame:
 
 
 def merge_pair_expr(toks: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of the pair (a, b) -> a||b as a
-    per-row fold: seed with the first token, then append-or-merge.
+    """Greedy left-to-right merge of the pair (a, b) -> a||b.
     Non-overlapping exactly like classic BPE ("a b a b" merges twice,
     "a a b" once); a fresh merge result never re-merges within the
-    same round (the fold compares the ORIGINAL pair literals)."""
-    merged = F.aggregate(
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 1, 1),
-        lambda acc, x: F.when(
-            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                     F.array(F.lit(a + b)))
-        ).otherwise(F.concat(acc, F.array(x))))
+    same round.
+
+    Two implementations with identical semantics:
+    - a != b (the common case): merge sites cannot overlap — a start
+      at i requires t[i]=a, a start at i+1 requires t[i+1]=a, but a
+      start at i forces t[i+1]=b != a. So the rewrite is POSITIONAL:
+      each index either starts a merge, was consumed by the previous
+      index's merge, or passes through — an O(n) transform+filter
+      (the fold alternative copies its accumulator array per token,
+      O(n^2) per document — measurably slow already at 300-token
+      docs and disqualifying at 1k+).
+    - a == b (self-pair, e.g. "the the"): run parity makes merge
+      sites sequentially dependent, so use the O(n^2) fold — rare,
+      and bounded by the longest same-token run in practice."""
+    if a != b:
+        m = a + b
+        t = toks
+
+        def g(i):  # 1-based element access, NULL out of bounds
+            return F.get(t, i - 1)
+
+        merged = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.when(
+                    (i > 1) & (g(i - 1) == F.lit(a))
+                    & (g(i) == F.lit(b)),
+                    F.lit(None).cast("string"))
+                .when((g(i) == F.lit(a)) & (g(i + 1) == F.lit(b)),
+                      F.lit(m))
+                .otherwise(g(i))),
+            lambda x: x.isNotNull())
+    else:
+        merged = F.aggregate(
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b)))
+            ).otherwise(F.concat(acc, F.array(x))))
     return F.when(F.size(toks) < 2, toks).otherwise(merged)
 
 

@@ -34,6 +34,51 @@ def test_merge_fold_semantics(spark):
     assert out[3] == ["x"] and out[4] == []
 
 
+def _py_merge(toks, a, b):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_positional_rewrite_matches_reference_greedy(spark):
+    # the O(n) positional form (a != b) must equal the reference
+    # left-to-right greedy merge on every {a,b,c} sequence up to
+    # length 6 (exhaustive) plus longer random mixes
+    import itertools
+    import random
+
+    rows = []
+    for n in range(7):
+        rows.extend(list(c) for c in itertools.product("abc", repeat=n))
+    rnd = random.Random(7)
+    rows.extend([rnd.choice("abc") for _ in range(rnd.randint(7, 20))]
+                for _ in range(100))
+    df = _tok(spark, rows).select(
+        "doc_id", merge_pair_expr(F.col("toks"), "a", "b").alias("m"))
+    got = {r["doc_id"]: r["m"] for r in df.collect()}
+    for i, t in enumerate(rows):
+        assert got[i] == _py_merge(t, "a", "b"), (t, got[i])
+
+
+def test_self_pair_uses_run_parity(spark):
+    # a == b goes through the fold: greedy run parity
+    rows = (_tok(spark, [["a", "a", "a"], ["a", "a", "a", "a"],
+                         ["b", "a", "a", "b"]])
+            .select("doc_id",
+                    merge_pair_expr(F.col("toks"), "a", "a").alias("m"))
+            .collect())
+    out = {r["doc_id"]: r["m"] for r in rows}
+    assert out[0] == ["aa", "a"]
+    assert out[1] == ["aa", "aa"]
+    assert out[2] == ["b", "aa", "b"]
+
+
 def test_top_pair_count_and_tiebreak(spark):
     # (a,b) appears 3x; everything else once
     d = _docs(spark, ["a b a b c", "a a b"]).select(
