@@ -110,6 +110,22 @@ def test_tokenizer_drops_nonalnum_and_empty(spark):
     assert d.collect()[0]["toks"] == ["hello", "world", "42"]
 
 
+def test_partitioning_invariance(spark):
+    # pair counts are integer hash-aggs and the rewrite is per-row,
+    # so learned merges and final token counts must not depend on
+    # the input partitioning
+    import random
+    rnd = random.Random(13)
+    texts = [" ".join(rnd.choice(["a", "b", "c", "d"])
+                      for _ in range(rnd.randint(0, 15)))
+             for _ in range(150)]
+    d1 = _docs(spark, texts).repartition(1)
+    d2 = _docs(spark, texts).repartition(11)
+    r1 = [r.asDict() for r in bpe_merge_rounds(d1, k_rounds=3).collect()]
+    r2 = [r.asDict() for r in bpe_merge_rounds(d2, k_rounds=3).collect()]
+    assert r1 == r2
+
+
 def test_top_pair_raises_without_pairs(spark):
     d = _docs(spark, ["one", ""]).select(
         "doc_id", tokens_expr(F.col("text")).alias("toks"))

@@ -89,6 +89,20 @@ def test_prototype_prune_frac_zero_keeps_all(spark):
     assert out.filter(~F.col("keep")).count() == 0
 
 
+def test_partitioning_invariance(spark):
+    # centroid sums are exact integers and the assignment is a
+    # per-row fold, so results must be bit-identical under any input
+    # partitioning (partial-agg fold order changes, values don't)
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(120)]
+    a = semantic_dedup(_df(spark, rows).repartition(1), k=4, iters=2)
+    b = semantic_dedup(_df(spark, rows).repartition(13), k=4, iters=2)
+    assert [r.asDict() for r in a.collect()] == \
+           [r.asDict() for r in b.collect()]
+
+
 def test_plan_broadcasts_centroids_not_points(spark):
     # the O(N*k) assignment must broadcast the k-row centroid side;
     # the assignment join sits behind the lazy checkpoint, so inspect
