@@ -226,6 +226,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spans_mod.spans_profile(
             spark.read.parquet(_SPANS_FIXTURE_PATH))
 
+    def q_mm_pack(spark, sf):
+        # multimodal training-sequence packing over the interleaved
+        # span fixture: char-mass text cost + fixed per-image cost,
+        # laid into 64-budget windows via the two-phase cumsum
+        from larbin_spark.pipeline import spans as spans_mod
+        spans_mod.write_spans_parquet(_SPANS_FIXTURE_PATH, 96)
+        return spans_mod.pack_interleaved(
+            spark.read.parquet(_SPANS_FIXTURE_PATH),
+            seq_len=64, image_cost=16)
+
     def q_decontaminate(spark, sf):
         return curation.decontaminate(_t(spark, sf, "documents"), 97, 3)
 
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_save_layout": q_save_layout,
         "multimodal_features": q_multimodal,
         "spans_profile": q_spans_profile,
+        "multimodal_pack": q_mm_pack,
         "curation_decontaminate": q_decontaminate,
         "curation_stratified_sample": q_stratified,
         "curation_repetition": q_repetition,
@@ -1195,6 +1206,30 @@ SELECT doc_id,
          AS span_fp
 FROM read_parquet('{_SPANS_FIXTURE_PATH}')
 ORDER BY doc_id""",
+        # multimodal packing: span costs (text chars + 16/image) into
+        # 64-budget windows; the oracle's textbook unpartitioned
+        # window IS the reference semantics the two-phase cumsum must
+        # reproduce exactly
+        "multimodal_pack": f"""
+WITH d AS (
+  SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(
+              list_filter(spans, s -> s['kind'] = 'text'),
+              s -> length(s['text']))), 0) AS BIGINT) AS n_text_chars,
+       CAST(len(list_filter(spans, s -> s['kind'] = 'image'))
+            AS INTEGER) AS n_media
+  FROM read_parquet('{_SPANS_FIXTURE_PATH}')),
+c AS (SELECT doc_id, n_text_chars, n_media,
+             CAST(n_text_chars + 16 * n_media AS BIGINT) AS cost
+      FROM d),
+e AS (SELECT *, CAST(sum(cost) OVER (ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - cost AS BIGINT) AS begin_off
+      FROM c)
+SELECT doc_id, n_text_chars, n_media, cost, begin_off,
+       CAST(floor(begin_off / 64) AS BIGINT) AS seq_id,
+       CAST(floor((begin_off + cost - 1) / 64)
+            - floor(begin_off / 64) + 1 AS BIGINT) AS n_seqs
+FROM e ORDER BY doc_id""",
         "curation_decontaminate": f"""
 WITH {_SHINGLES_CTE},
 ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

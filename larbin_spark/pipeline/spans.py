@@ -83,6 +83,50 @@ def write_spans_parquet(path: str, n: int = 96) -> None:
     os.replace(tmp, path)
 
 
+def pack_interleaved(docs: DataFrame, seq_len: int = 64,
+                     image_cost: int = 16) -> DataFrame:
+    """Multimodal training-sequence packing over the interleaved
+    span column: each document's budget cost is its text mass (chars
+    across text spans — the byte-budget proxy a vision-text packer
+    uses) plus a FIXED `image_cost` per media span (the patch-token
+    count an image occupies in the sequence), then documents are
+    laid end-to-end in doc_id order and cut into `seq_len` windows —
+    curation.pack_sequences' layout step, fed by the span costs.
+
+    Returns per doc: (doc_id, n_text_chars, n_media, cost,
+    begin_off, seq_id, n_seqs).
+
+    Scale shape: the cost is a per-row higher-order map fused into
+    the scan; the stream offsets come from the same two-phase
+    distributed cumsum as pack_sequences (never an unpartitioned
+    window); offsets are exact longs on both engines."""
+    from ..operators.sequence import assign_group_cumsum
+
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    media = F.filter("spans", lambda s: s["kind"] == F.lit("image"))
+    chars = F.aggregate(text_spans, F.lit(0).cast("long"),
+                        lambda acc, s: acc + F.length(s["text"]))
+    base = docs.select(
+        "doc_id",
+        chars.alias("n_text_chars"),
+        F.size(media).cast("int").alias("n_media"))
+    base = base.withColumn(
+        "cost",
+        (F.col("n_text_chars")
+         + F.lit(image_cost) * F.col("n_media")).cast("long"))
+    packed = assign_group_cumsum(
+        base.withColumn("_stream", F.lit(0)),
+        ["_stream"], ["doc_id"], "cost", "_end")
+    begin = F.col("_end") - F.col("cost")
+    first_seq = F.floor(begin / seq_len).cast("long")
+    last_seq = F.floor((F.col("_end") - 1) / seq_len).cast("long")
+    return (packed.select(
+        "doc_id", "n_text_chars", "n_media", "cost",
+        begin.alias("begin_off"), first_seq.alias("seq_id"),
+        (last_seq - first_seq + 1).alias("n_seqs"))
+        .orderBy("doc_id"))
+
+
 def spans_profile(docs: DataFrame) -> DataFrame:
     """Per-document profile of the interleaved span sequence, all
     JVM-side higher-order functions over the array column:

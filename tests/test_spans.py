@@ -4,7 +4,7 @@ stats, and the ORDER-SENSITIVITY of the sequence fingerprint."""
 import os
 
 from larbin_spark.pipeline.spans import (
-    spans_profile, spans_rows, write_spans_parquet,
+    pack_interleaved, spans_profile, spans_rows, write_spans_parquet,
 )
 
 
@@ -45,6 +45,29 @@ def test_fingerprint_is_order_sensitive(spark):
     df = spark.createDataFrame([(0, fwd), (1, rev)], schema)
     fps = {r["doc_id"]: r["span_fp"] for r in spans_profile(df).collect()}
     assert fps[0] != fps[1]
+
+
+def test_pack_interleaved_matches_reference(spark, tmp_path):
+    # full Python reference over the fixture: char-mass + 16/image
+    # costs laid end-to-end and cut into 64-budget windows
+    seq_len, img = 64, 16
+    ref, off = {}, 0
+    for i, spans in spans_rows(96):
+        chars = sum(len(s["text"]) for s in spans if s["kind"] == "text")
+        media = sum(1 for s in spans if s["kind"] == "image")
+        cost = chars + img * media
+        first, last = off // seq_len, (off + cost - 1) // seq_len
+        ref[i] = (chars, media, cost, off, first, last - first + 1)
+        off += cost
+    path = os.path.join(str(tmp_path), "p.parquet")
+    write_spans_parquet(path, 96)
+    got = {r["doc_id"]: (r["n_text_chars"], r["n_media"], r["cost"],
+                         r["begin_off"], r["seq_id"], r["n_seqs"])
+           for r in pack_interleaved(spark.read.parquet(path),
+                                     seq_len, img).collect()}
+    assert got == ref
+    # docs that straddle a window boundary exist (n_seqs > 1)
+    assert any(v[5] > 1 for v in ref.values())
 
 
 def test_write_is_deterministic(tmp_path):

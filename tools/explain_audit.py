@@ -227,6 +227,20 @@ CHECKS = {
          "row-at-a-time Python",
          lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
     ],
+    "multimodal_pack": [
+        ("span costs are pure JVM higher-order functions fused into "
+         "the scan (the only Python is the cumsum's Arrow pass)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+        ("no unpartitioned window: the global stream offset is the "
+         "two-phase cumsum, never `sum() OVER (ORDER BY doc_id)`",
+         lambda p: "windowspecdefinition" not in p),
+        ("carry offsets joined by broadcast",
+         lambda p: any("_goff" in b for b in _broadcast_inputs(p))),
+        ("local cumsum is one Arrow pass (MapInPandas), no "
+         "row-at-a-time Python",
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+    ],
     "curation_training_shuffle": [
         ("no global window: the permutation rank is the two-phase "
          "scheme, never row_number() OVER (ORDER BY hash) (whole "
@@ -538,6 +552,7 @@ CRAWL_CHECKS = {
 PRE_CHECKPOINT_PROBES = {
     "curation_budget_pack": ["group_cumsum:source->cum_tokens"],
     "curation_pack_sequences": ["group_cumsum:_stream->_end"],
+    "multimodal_pack": ["group_cumsum:_stream->_end"],
     # the composed pipeline cuts at the curated base AND inside the
     # cumsum; both hidden stages are audited
     "curation_pipeline": ["curate_mix:base",
