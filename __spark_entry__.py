@@ -677,10 +677,15 @@ def _bpe_sql(k_rounds: int = 3) -> str:
         # O(n) positional transform when the learned pair is not a
         # self-pair (merge sites provably non-overlapping), else the
         # left-to-right fold
+        # LEFT JOIN + error(): a round with NO adjacent pairs must
+        # fail loud exactly like the Spark side's top_pair ValueError
+        # (a CROSS JOIN would silently annihilate every doc instead)
         parts.append(
             f"t{r} AS (\n"
             f"  SELECT doc_id, n0,\n"
-            f"    CASE WHEN len(toks) < 2 THEN toks\n"
+            f"    CASE WHEN w.a IS NULL THEN\n"
+            f"      error('bpe round {r}: no adjacent pairs in corpus')\n"
+            f"    WHEN len(toks) < 2 THEN toks\n"
             f"    WHEN w.a <> w.b THEN\n"
             f"      list_filter(list_transform(\n"
             f"        range(1, len(toks) + 1),\n"
@@ -699,7 +704,7 @@ def _bpe_sql(k_rounds: int = 3) -> str:
             f" [w.a || w.b])\n"
             f"          ELSE list_concat(acc, x) END)\n"
             f"    END AS toks\n"
-            f"  FROM t{r - 1} CROSS JOIN w{r} w)")
+            f"  FROM t{r - 1} LEFT JOIN w{r} w ON TRUE)")
     merge_cols = ",\n       ".join(
         f"(SELECT a || b FROM w{r}) AS m{r},\n"
         f"       (SELECT cnt FROM w{r}) AS cnt{r}"
@@ -1226,9 +1231,9 @@ e AS (SELECT *, CAST(sum(cost) OVER (ORDER BY doc_id
            ROWS UNBOUNDED PRECEDING) - cost AS BIGINT) AS begin_off
       FROM c)
 SELECT doc_id, n_text_chars, n_media, cost, begin_off,
-       CAST(floor(begin_off / 64) AS BIGINT) AS seq_id,
-       CAST(floor((begin_off + cost - 1) / 64)
-            - floor(begin_off / 64) + 1 AS BIGINT) AS n_seqs
+       CAST(begin_off // 64 AS BIGINT) AS seq_id,
+       CAST((begin_off + cost - 1) // 64
+            - begin_off // 64 + 1 AS BIGINT) AS n_seqs
 FROM e ORDER BY doc_id""",
         "curation_decontaminate": f"""
 WITH {_SHINGLES_CTE},
@@ -1504,9 +1509,9 @@ c AS (
            AS begin_off
   FROM t)
 SELECT doc_id, n_tokens, begin_off,
-       CAST(floor(begin_off / 512) AS BIGINT) AS seq_id,
-       CAST(floor((begin_off + n_tokens - 1) / 512)
-            - floor(begin_off / 512) + 1 AS BIGINT) AS n_seqs
+       CAST(begin_off // 512 AS BIGINT) AS seq_id,
+       CAST((begin_off + n_tokens - 1) // 512
+            - begin_off // 512 + 1 AS BIGINT) AS n_seqs
 FROM c ORDER BY doc_id""",
         "analytics_running_total": """
 SELECT o_custkey, o_orderkey,

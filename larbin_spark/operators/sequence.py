@@ -116,7 +116,8 @@ def assign_global_seq(df: DataFrame, order_cols: List[str],
 
 def assign_group_cumsum(df: DataFrame, group_cols: List[str],
                         order_cols: List[str], value_col: str,
-                        out_col: str) -> DataFrame:
+                        out_col: str,
+                        probe_key: str | None = None) -> DataFrame:
     """Per-group inclusive running sum of `value_col` under the
     (group_cols, order_cols) total order — the same two-phase scheme
     as assign_global_seq, generalized from rank to prefix sum.
@@ -183,8 +184,11 @@ def assign_group_cumsum(df: DataFrame, group_cols: List[str],
     ranked = ranked.mapInPandas(local_cumsum, out_schema)
     # keyed by signature, not a shared name: two operators in one
     # audit run must not overwrite each other's probe (the audit
-    # would silently check the wrong plan)
-    probe_key = f"group_cumsum:{','.join(group_cols)}->{out_col}"
+    # would silently check the wrong plan). Callers whose signature
+    # collides with another operator's (e.g. two _stream packers)
+    # pass an explicit probe_key to stay disambiguated.
+    if probe_key is None:
+        probe_key = f"group_cumsum:{','.join(group_cols)}->{out_col}"
     PLAN_PROBE[probe_key] = ranked
     ranked = ranked.localCheckpoint(eager=True)
 

@@ -170,11 +170,15 @@ def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
     packed = assign_group_cumsum(
         base.withColumn("_stream", F.lit(0)),
         ["_stream"], ["doc_id"], "n_tokens", "_end")
-    begin = F.col("_end") - F.col("n_tokens")
-    first_seq = F.floor(begin / seq_len).cast("long")
-    last_seq = F.floor((F.col("_end") - 1) / seq_len).cast("long")
+    # integer `div`, never a double `/`: offsets stay exact past
+    # 2^53 (both operands non-negative, so truncation == floor; the
+    # DuckDB oracle uses `//`)
+    packed = packed.withColumn(
+        "begin_off", F.col("_end") - F.col("n_tokens"))
+    first_seq = F.expr(f"begin_off div {seq_len}")
+    last_seq = F.expr(f"(begin_off + n_tokens - 1) div {seq_len}")
     return (packed.select(
-        "doc_id", "n_tokens", begin.alias("begin_off"),
+        "doc_id", "n_tokens", "begin_off",
         first_seq.alias("seq_id"),
         (last_seq - first_seq + 1).alias("n_seqs"))
         .orderBy("doc_id"))

@@ -83,6 +83,24 @@ def write_spans_parquet(path: str, n: int = 96) -> None:
     os.replace(tmp, path)
 
 
+def text_spans_expr(spans_col: str = "spans"):
+    """The text spans of the interleaved array (shared by the
+    profile and the packer — one definition of 'text span')."""
+    return F.filter(spans_col, lambda s: s["kind"] == F.lit("text"))
+
+
+def media_spans_expr(spans_col: str = "spans"):
+    """The image/media spans of the interleaved array."""
+    return F.filter(spans_col, lambda s: s["kind"] == F.lit("image"))
+
+
+def text_chars_expr(spans_col: str = "spans"):
+    """Total text char mass across the text spans (0 when none)."""
+    return F.aggregate(text_spans_expr(spans_col),
+                       F.lit(0).cast("long"),
+                       lambda acc, s: acc + F.length(s["text"]))
+
+
 def pack_interleaved(docs: DataFrame, seq_len: int = 64,
                      image_cost: int = 16) -> DataFrame:
     """Multimodal training-sequence packing over the interleaved
@@ -102,27 +120,28 @@ def pack_interleaved(docs: DataFrame, seq_len: int = 64,
     window); offsets are exact longs on both engines."""
     from ..operators.sequence import assign_group_cumsum
 
-    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
-    media = F.filter("spans", lambda s: s["kind"] == F.lit("image"))
-    chars = F.aggregate(text_spans, F.lit(0).cast("long"),
-                        lambda acc, s: acc + F.length(s["text"]))
     base = docs.select(
         "doc_id",
-        chars.alias("n_text_chars"),
-        F.size(media).cast("int").alias("n_media"))
+        text_chars_expr().alias("n_text_chars"),
+        F.size(media_spans_expr()).cast("int").alias("n_media"))
     base = base.withColumn(
         "cost",
         (F.col("n_text_chars")
          + F.lit(image_cost) * F.col("n_media")).cast("long"))
     packed = assign_group_cumsum(
         base.withColumn("_stream", F.lit(0)),
-        ["_stream"], ["doc_id"], "cost", "_end")
+        ["_stream"], ["doc_id"], "cost", "_end",
+        probe_key="group_cumsum:_stream->_end@pack_interleaved")
+    # integer `div`, never a double `/`: offsets are exact longs and
+    # stay exact past 2^53 (both operands non-negative, so
+    # truncation == floor; the DuckDB oracle uses `//`)
     begin = F.col("_end") - F.col("cost")
-    first_seq = F.floor(begin / seq_len).cast("long")
-    last_seq = F.floor((F.col("_end") - 1) / seq_len).cast("long")
+    packed = packed.withColumn("begin_off", begin)
+    first_seq = F.expr(f"begin_off div {seq_len}")
+    last_seq = F.expr(f"(begin_off + cost - 1) div {seq_len}")
     return (packed.select(
-        "doc_id", "n_text_chars", "n_media", "cost",
-        begin.alias("begin_off"), first_seq.alias("seq_id"),
+        "doc_id", "n_text_chars", "n_media", "cost", "begin_off",
+        first_seq.alias("seq_id"),
         (last_seq - first_seq + 1).alias("n_seqs"))
         .orderBy("doc_id"))
 
@@ -138,11 +157,8 @@ def spans_profile(docs: DataFrame) -> DataFrame:
       kind:text:media_ref:offset sequence — the span-sequence
       equality invariant as a column
     """
-    media = F.filter("spans", lambda s: s["kind"] == F.lit("image"))
-    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
-    text_chars = F.aggregate(
-        text_spans, F.lit(0).cast("long"),
-        lambda acc, s: acc + F.length(s["text"]))
+    media = media_spans_expr()
+    text_chars = text_chars_expr()
     seq = F.transform("spans", lambda s: F.concat_ws(
         ":", s["kind"], F.coalesce(s["text"], F.lit("")),
         F.coalesce(s["media_ref"], F.lit("")),

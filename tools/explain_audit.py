@@ -552,7 +552,7 @@ CRAWL_CHECKS = {
 PRE_CHECKPOINT_PROBES = {
     "curation_budget_pack": ["group_cumsum:source->cum_tokens"],
     "curation_pack_sequences": ["group_cumsum:_stream->_end"],
-    "multimodal_pack": ["group_cumsum:_stream->_end"],
+    "multimodal_pack": ["group_cumsum:_stream->_end@pack_interleaved"],
     # the composed pipeline cuts at the curated base AND inside the
     # cumsum; both hidden stages are audited
     "curation_pipeline": ["curate_mix:base",
