@@ -1232,7 +1232,7 @@ e AS (SELECT *, CAST(sum(cost) OVER (ORDER BY doc_id
       FROM c)
 SELECT doc_id, n_text_chars, n_media, cost, begin_off,
        CAST(begin_off // 64 AS BIGINT) AS seq_id,
-       CAST((begin_off + cost - 1) // 64
+       CAST((begin_off + greatest(cost, 1) - 1) // 64
             - begin_off // 64 + 1 AS BIGINT) AS n_seqs
 FROM e ORDER BY doc_id""",
         "curation_decontaminate": f"""
@@ -1510,7 +1510,7 @@ c AS (
   FROM t)
 SELECT doc_id, n_tokens, begin_off,
        CAST(begin_off // 512 AS BIGINT) AS seq_id,
-       CAST((begin_off + n_tokens - 1) // 512
+       CAST((begin_off + greatest(n_tokens, 1) - 1) // 512
             - begin_off // 512 + 1 AS BIGINT) AS n_seqs
 FROM c ORDER BY doc_id""",
         "analytics_running_total": """

@@ -171,12 +171,15 @@ def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
         base.withColumn("_stream", F.lit(0)),
         ["_stream"], ["doc_id"], "n_tokens", "_end")
     # integer `div`, never a double `/`: offsets stay exact past
-    # 2^53 (both operands non-negative, so truncation == floor; the
-    # DuckDB oracle uses `//`)
+    # 2^53. greatest(n_tokens, 1) keeps the numerator non-negative
+    # (div truncates, DuckDB // floors — they diverge at -1); here
+    # n_tokens >= 1 always (split yields [''] on empty text), so the
+    # clamp is belt-and-braces for engine parity
     packed = packed.withColumn(
         "begin_off", F.col("_end") - F.col("n_tokens"))
     first_seq = F.expr(f"begin_off div {seq_len}")
-    last_seq = F.expr(f"(begin_off + n_tokens - 1) div {seq_len}")
+    last_seq = F.expr(
+        f"(begin_off + greatest(n_tokens, 1L) - 1) div {seq_len}")
     return (packed.select(
         "doc_id", "n_tokens", "begin_off",
         first_seq.alias("seq_id"),

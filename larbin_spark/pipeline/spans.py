@@ -133,12 +133,16 @@ def pack_interleaved(docs: DataFrame, seq_len: int = 64,
         ["_stream"], ["doc_id"], "cost", "_end",
         probe_key="group_cumsum:_stream->_end@pack_interleaved")
     # integer `div`, never a double `/`: offsets are exact longs and
-    # stay exact past 2^53 (both operands non-negative, so
-    # truncation == floor; the DuckDB oracle uses `//`)
+    # stay exact past 2^53. greatest(cost, 1) keeps the last-window
+    # numerator non-negative even for a zero-cost doc at offset 0 —
+    # Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    # so a -1 numerator would diverge across engines; with the clamp
+    # a zero-cost doc occupies exactly its boundary window on both
     begin = F.col("_end") - F.col("cost")
     packed = packed.withColumn("begin_off", begin)
     first_seq = F.expr(f"begin_off div {seq_len}")
-    last_seq = F.expr(f"(begin_off + cost - 1) div {seq_len}")
+    last_seq = F.expr(
+        f"(begin_off + greatest(cost, 1L) - 1) div {seq_len}")
     return (packed.select(
         "doc_id", "n_text_chars", "n_media", "cost", "begin_off",
         first_seq.alias("seq_id"),

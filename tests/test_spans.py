@@ -56,7 +56,8 @@ def test_pack_interleaved_matches_reference(spark, tmp_path):
         chars = sum(len(s["text"]) for s in spans if s["kind"] == "text")
         media = sum(1 for s in spans if s["kind"] == "image")
         cost = chars + img * media
-        first, last = off // seq_len, (off + cost - 1) // seq_len
+        first = off // seq_len
+        last = (off + max(cost, 1) - 1) // seq_len
         ref[i] = (chars, media, cost, off, first, last - first + 1)
         off += cost
     path = os.path.join(str(tmp_path), "p.parquet")
@@ -68,6 +69,41 @@ def test_pack_interleaved_matches_reference(spark, tmp_path):
     assert got == ref
     # docs that straddle a window boundary exist (n_seqs > 1)
     assert any(v[5] > 1 for v in ref.values())
+
+
+def test_pack_zero_cost_doc_agrees_with_duckdb(spark):
+    # a zero-cost doc (empty spans) at stream offset 0 makes the
+    # last-window numerator -1 without the greatest(cost,1) clamp —
+    # Spark `div` truncates (-1 div 64 = 0) while DuckDB `//` floors
+    # (-1 // 64 = -1); with the clamp both engines agree the doc
+    # occupies exactly its boundary window
+    import duckdb
+    schema = ("doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    rows = [(0, []),
+            (1, [{"kind": "text", "text": "abcdef",
+                  "media_ref": None, "offset": 0}]),
+            (2, [])]
+    out = {r["doc_id"]: r for r in pack_interleaved(
+        spark.createDataFrame(rows, schema), 4, 16).collect()}
+    assert (out[0]["cost"], out[0]["begin_off"],
+            out[0]["seq_id"], out[0]["n_seqs"]) == (0, 0, 0, 1)
+    assert (out[1]["cost"], out[1]["seq_id"], out[1]["n_seqs"]) \
+        == (6, 0, 2)
+    assert (out[2]["cost"], out[2]["begin_off"],
+            out[2]["seq_id"], out[2]["n_seqs"]) == (0, 6, 1, 1)
+    # the DuckDB-side formula on the same costs
+    got = duckdb.connect().execute("""
+      WITH c AS (SELECT * FROM (VALUES (0, 0), (1, 6), (2, 0))
+                 t(doc_id, cost)),
+      e AS (SELECT *, sum(cost) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - cost AS b FROM c)
+      SELECT doc_id, b // 4,
+             (b + greatest(cost, 1) - 1) // 4 - b // 4 + 1
+      FROM e ORDER BY doc_id""").fetchall()
+    for doc_id, seq_id, n_seqs in got:
+        assert out[doc_id]["seq_id"] == seq_id
+        assert out[doc_id]["n_seqs"] == n_seqs
 
 
 def test_write_is_deterministic(tmp_path):
