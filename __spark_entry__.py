@@ -395,6 +395,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    F.lit(".allowed.example"), F.lit("")))
                 .orderBy("doc_id"))
 
+    def q_bloom(spark, sf):
+        # the north-star "distributed bloom/cuckoo URL-seen filter"
+        # as a contract row: the REAL distributed build (JVM md5
+        # double-hashing -> per-partition OR-reduce bitmap) + the
+        # REAL broadcast vectorized probe, over synthesized URLs
+        # whose seen subset is doc_id % 3 = 0. m=2048/k=3 at ~170
+        # seen keys gives a ~1% FP rate, so the contract row
+        # exercises false positives (maybe_seen=true on unseen rows)
+        # while the oracle reproduces every bit position from the
+        # same single md5 per key (operators/bloomfilter.py).
+        from larbin_spark.operators import bloomfilter as bf
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("http://h"),
+                     (F.col("doc_id") % 97).cast("string"),
+                     F.lit(".example.com/p"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            (F.col("doc_id") % 3 == 0).alias("is_seen"))
+        bm = bf.bloom_build(d.filter("is_seen").select("url"),
+                            "url", 2048, 3)
+        return (bf.bloom_probe(d, bm, "url", 2048, 3)
+                .select("doc_id", "maybe_seen", "is_seen")
+                .orderBy("doc_id"))
+
     def q_robots_gate(spark, sf):
         # O-11 matching (testRobots, site.cxx:383-392 +
         # text.cxx:52-73 robotsMatch) as a contract row: the REAL
@@ -550,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_filter": q_url_filter,
         "crawl_robots_gate": q_robots_gate,
         "crawl_canonicalize": q_canonicalize,
+        "crawl_bloom_prefilter": q_bloom,
         "analytics_running_total": q_running_total,
         "analytics_moving_avg": q_moving_avg,
         "analytics_sessionize": q_sessionize,
@@ -584,6 +609,15 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE guard IS NOT NULL)
 _HB_DIGITS = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1)"
     f" * {16 ** (14 - i)}" for i in range(15))
+
+
+def _bloom_digits(offset: int) -> str:
+    """int value of 15 hex chars of a CTE column `hx` starting at
+    1-based `offset` — mirrors bloomfilter._md5_double_hash's
+    conv(substring(md5, offset, 15), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {offset + i}, 1)) - 1)"
+        f" * {16 ** (14 - i)}" for i in range(15))
 
 
 def _lsh_planes_sql(n_planes: int = 8, offset: int = 0) -> str:
@@ -1429,6 +1463,33 @@ SELECT doc_id,
          WHEN 9 THEN '/a/b' ELSE '/a%20b' END AS path,
   (k <> 7) AS valid
 FROM u ORDER BY doc_id""",
+        # crawl_bloom_prefilter: rebuild every Bloom bit position
+        # from the same single md5 per key — h1 = int(hex[1:15]),
+        # h2 = 2*int(hex[17:31]) + 1, pos_i = (h1%m + i*(h2%m)) % m
+        # (operators/bloomfilter.py:_md5_double_hash); membership =
+        # all k candidate positions present in the seen-key bit set
+        "crawl_bloom_prefilter": f"""
+WITH d AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         (doc_id % 3 = 0) AS is_seen
+  FROM documents),
+hxt AS (SELECT doc_id, is_seen, md5(url) AS hx FROM d),
+hh AS (SELECT doc_id, is_seen,
+              (({_bloom_digits(1)}) % 2048) AS h1m,
+              ((2 * ({_bloom_digits(17)}) + 1) % 2048) AS h2m
+       FROM hxt),
+pos AS (SELECT doc_id, is_seen, (h1m + i.i * h2m) % 2048 AS pos
+        FROM hh CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+bits AS (SELECT DISTINCT pos FROM pos WHERE is_seen),
+probe AS (SELECT p.doc_id,
+                 count(DISTINCT p.pos) AS n_tot,
+                 count(DISTINCT b.pos) AS n_hit
+          FROM pos p LEFT JOIN bits b ON p.pos = b.pos
+          GROUP BY p.doc_id)
+SELECT pr.doc_id, (pr.n_hit = pr.n_tot) AS maybe_seen, d.is_seen
+FROM probe pr JOIN d USING (doc_id) ORDER BY doc_id""",
         # mirrors q_streaming_intake's deterministic line synthesis;
         # the URLs are pre-canonical so the parse is reconstructible
         "streaming_intake": """

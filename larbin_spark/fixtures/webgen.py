@@ -36,13 +36,39 @@ def _mk_text(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_TEXT_WORDS) for _ in range(n))
 
 
+# one precomputed ~256-word paragraph, tiled for bulk page bodies:
+# per-word rng draws at realistic page masses (hundreds of words x
+# millions of pages) would dominate fixture generation time
+_PARA = " ".join(_TEXT_WORDS[(i * 7) % len(_TEXT_WORDS)]
+                 for i in range(256))
+
+
+def _bulk_text(n_words: int) -> str:
+    reps, rem = divmod(n_words, 256)
+    parts = [_PARA] * reps
+    if rem:
+        parts.append(" ".join(_TEXT_WORDS[(i * 7) % len(_TEXT_WORDS)]
+                              for i in range(rem)))
+    return " ".join(parts)
+
+
 def gen_web(seed: int = 42, n_hosts: int = 24, base_pages: int = 14,
-            hot_hosts: int = 2, hot_factor: int = 8) -> dict:
+            hot_hosts: int = 2, hot_factor: int = 8,
+            page_links: int = 0, page_text_words: int = 0) -> dict:
     """Generate a linked synthetic web.
 
     Returns {"documents": [row...], "hosts": [...], "robots": [...],
     "seeds": [...]} where document rows carry the span arrays plus the
     simulation columns (status/redirect_to/content_type/length).
+
+    `page_links` / `page_text_words` add realistic page mass — real
+    pages carry tens of links and KBs of text, while the parity
+    fixtures' 1-6 links / 3-20 words keep the oracle fast. Both
+    default to 0: every existing fixture, digest and golden is
+    byte-identical with the defaults. Extra anchors target existing
+    pages (60% same-host, 40% cross-host, stride-deterministic); the
+    bulk text span is prefixed with the page URL so hashDup's
+    content hash stays unique per page.
     """
     rng = random.Random(seed)
     hosts: List[dict] = []
@@ -159,6 +185,25 @@ def gen_web(seed: int = 42, n_hosts: int = 24, base_pages: int = 14,
                 add("frame", text=page_url(host, rng_doc.choice(own)))
             if rng_doc.random() < 0.3:
                 add("text", _mk_text(rng_doc, rng_doc.randint(2, 8)))
+        if page_links:
+            # realistic link mass: stride-deterministic targets (one
+            # rng draw + crc per page, not per link — per-link draws
+            # would dominate generation at millions of pages)
+            base_i = rng_doc.randrange(len(own))
+            page_crc = zlib.crc32(url.encode())
+            for t in range(page_links):
+                if t % 5 < 3:  # 60% same-host
+                    add("anchor", text=page_url(
+                        host, own[(base_i + t * 13 + 1) % len(own)]))
+                else:
+                    oh = hosts[(page_crc + t * 101) % len(hosts)]["host"]
+                    op = pages[oh]
+                    add("anchor", text=page_url(oh, op[(base_i + t) % len(op)]))
+        if page_text_words:
+            # bulk body mass; url prefix keeps the content hash unique
+            k = page_text_words + (zlib.crc32(url.encode()) %
+                                   (page_text_words // 4 + 1))
+            add("text", url + " " + _bulk_text(k))
         if rng_doc.random() < 0.12:
             add("media", media_ref=page_url(host, f"/img{rng_doc.randint(0, 9)}.png"))
         if rng_doc.random() < 0.06:

@@ -127,20 +127,25 @@ if _ONLY:
     RUNGS = [r for r in RUNGS if r["name"] in _names]
 
 
-def gen_params(n_hosts: int, base_pages: int) -> dict:
+def gen_params(n_hosts: int, base_pages: int, page_links: int = 0,
+               page_text_words: int = 0) -> dict:
     return {"seed": 777, "n_hosts": n_hosts, "base_pages": base_pages,
-            "hot_hosts": 40, "hot_factor": 6, "ip_rewrite": "v1"}
+            "hot_hosts": 40, "hot_factor": 6, "ip_rewrite": "v1",
+            "page_links": page_links, "page_text_words": page_text_words}
 
 
-def make_fixture(n_hosts: int, base_pages: int) -> str:
+def make_fixture(n_hosts: int, base_pages: int, page_links: int = 0,
+                 page_text_words: int = 0) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
     from larbin_spark.fixtures.webgen import gen_web, write_parquet
     import tempfile
-    params = gen_params(n_hosts, base_pages)
+    params = gen_params(n_hosts, base_pages, page_links, page_text_words)
     outdir = os.path.join(tempfile.gettempdir(),
                           f"crawl_scale_web_{n_hosts}"
-                          + ("" if base_pages == 20 else f"_bp{base_pages}"))
+                          + ("" if base_pages == 20 else f"_bp{base_pages}")
+                          + ("" if not (page_links or page_text_words)
+                             else f"_h{page_links}x{page_text_words}"))
     # the params fingerprint is written LAST, so its presence+match
     # means a complete fixture built with exactly these parameters —
     # a bare seeds.parquet existence check would silently reuse a
@@ -156,7 +161,9 @@ def make_fixture(n_hosts: int, base_pages: int) -> str:
     web = gen_web(seed=params["seed"], n_hosts=n_hosts,
                   base_pages=base_pages,
                   hot_hosts=params["hot_hosts"],
-                  hot_factor=params["hot_factor"])
+                  hot_factor=params["hot_factor"],
+                  page_links=page_links,
+                  page_text_words=page_text_words)
     for i, h in enumerate(web["hosts"]):
         if not h["ip"].startswith("10.0.0."):  # keep shared-IP pairs
             h["ip"] = f"10.{1 + i // 65536}.{(i // 256) % 256}.{i % 256}"
@@ -242,7 +249,9 @@ def main() -> None:
         }
         parts = {n_a: max(8, n_a * CORES_PER_EXEC),
                  n_b: max(8, n_b * CORES_PER_EXEC), "t2": 8, "t32": 32}
-        fixture = make_fixture(rung["n_hosts"], rung["base_pages"])
+        fixture = make_fixture(rung["n_hosts"], rung["base_pages"],
+                               rung.get("page_links", 0),
+                               rung.get("page_text_words", 0))
         best: dict = {}
         samples: dict = {}
         levels = [n_a, n_b] + (["t2", "t32"] if rung["thread_sweep"]
