@@ -210,6 +210,16 @@ class RoundRunner:
         self.cfg = cfg
         self.dims = dims
         self.expire_rounds = max(1, (2 * 24 * 3600) // max(1, cfg.wait_duration))
+        # width for per-round COMPUTE frames (the fetched-pages chain:
+        # content hashing + link extraction are the crawl's per-page
+        # CPU). State tables coalesce to _STATE_PARTITIONS for bounded
+        # file counts, but materializing the pages frame at state
+        # width would cap every downstream mapInPandas at 8-way — on a
+        # 32-core box that alone made phase E ~7x slower than the same
+        # plan at full width (measured: the heavy-fixture extract pass
+        # at 6 vs 32 partitions is 25.3 s vs 3.6 s).
+        self.width = max(_STATE_PARTITIONS,
+                         spark.sparkContext.defaultParallelism)
         # when set to a dict, run_round stashes its key LAZY frames
         # (pre-localCheckpoint, full lineage) under phase-stage names
         # so tools/explain_audit.py can assert the integration plan's
@@ -688,7 +698,8 @@ class RoundRunner:
         (queues, seen, seen_delta, dup_seen, dup_delta, log_e,
          metrics_e, docs_out_new, n_links_new, n_success,
          new_bitmaps, links_enqueued) = self._phase_e(
-            st, fetched, rnd, C["qseq_next"] + n_bounce, queues)
+            st, fetched, rnd, C["qseq_next"] + n_bounce, queues,
+            mark=_mark)
         C["qseq_next"] += n_bounce + n_links_new
         C["pages_ok"] += n_success
         _mark("E:done")
@@ -939,7 +950,7 @@ class RoundRunner:
     # ---------------- phase E ----------------
 
     def _phase_e(self, st: CrawlState, fetched: DataFrame, rnd: int,
-                 qseq_base: int, queues: DataFrame):
+                 qseq_base: int, queues: DataFrame, mark=lambda _l: None):
         cfg, spark = self.cfg, self.spark
         docs_dim = self.dims["documents"]
         set_cookie_col = (F.col("set_cookie")
@@ -954,7 +965,15 @@ class RoundRunner:
             F.col("length").alias("d_length"),
             set_cookie_col.alias("set_cookie"),
             slow_col.alias("d_slow"))
-        pages = scale_safe_fetch_join(docs, fetched)
+        # materialize the hit set WIDE (round-robin to compute width):
+        # the hits inherit the documents scan's partitioning, which is
+        # both narrow on small inputs and skewed toward hot parquet
+        # files; everything CPU-heavy in this phase (content hash,
+        # link extraction) runs over this frame's partitions
+        pages = scale_safe_fetch_join(
+            docs, fetched,
+            materialize=lambda d: _lc(d.repartition(self.width),
+                                      self.width))
 
         ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
         type_ok = (ct.startswith("text/html")
@@ -1033,10 +1052,14 @@ class RoundRunner:
                           | (F.col("dup_rn") > 1)), "duplicate")
                 .otherwise(F.col("page_class")))
 
+        # checkpoint at COMPUTE width, not state width: ex_in below
+        # feeds the link-extraction mapInPandas, whose parallelism is
+        # exactly this frame's partition count
         pages = _lc(self._cap("E_pages", pages.withColumn(
             "final_error",
             F.when(F.col("page_class") == "ok", "success")
-            .otherwise(F.col("page_class")))))
+            .otherwise(F.col("page_class")))), self.width)
+        mark("E:pages")
 
         new_bitmaps: dict = {}
         if cfg.page_no_duplicate:
@@ -1086,6 +1109,9 @@ class RoundRunner:
                     (F.col("final_error") == "err30X").alias("redir_row"))
 
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import os as _os, sys as _sys, time as _time
+            _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_E")
+            _te0, _np = _time.time(), 0
             from ..kernels.urlnorm import merge_cookie
             cols = [f.name for f in LINKS_SCHEMA]
             for pdf in batches:
@@ -1123,7 +1149,11 @@ class RoundRunner:
                             out.append((row.fetch_seq, i, u.url, u.host,
                                         u.port, u.path, u.depth, False,
                                         row.host, lc, 0))
+                _np += len(pdf)
                 yield pd.DataFrame(out, columns=cols)
+            if _dbg:
+                print(f"[extract-part] {_time.time() - _te0:.2f}s "
+                      f"{_np} pages", file=_sys.stderr, flush=True)
 
         links = ex_in.mapInPandas(extract, LINKS_SCHEMA)
 
@@ -1176,6 +1206,21 @@ class RoundRunner:
                                         F.lit(bool(cfg.ignore_robots))),
                   "fastRobots"))
 
+        # checkpoint the gated link stream ONCE (all rows, slim
+        # columns, gate_err included, ff_* dropped): every downstream
+        # consumer — the survivors dedup chain, the gate-error
+        # metrics, the enqueue rank — reads this frame, so the
+        # extract mapInPandas runs exactly once per round. Before
+        # this, the lazy gate-error branch of metrics_e re-executed
+        # the whole extract chain at every durable metrics
+        # materialization (measured: 2x the extract cost per round
+        # on the heavy-page fixture).
+        links = _lc(self._cap("E_links", links.select(
+            "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
+            "l_path", "l_depth", "is_redir", "parent_host",
+            "l_cookie", "l_tag", "gate_err")), self.width)
+        mark("E:extract")
+
         # ---- check(): seen testSet in deterministic order (O-6) ----
         survivors = links.filter(F.col("gate_err").isNull())
         survivors = survivors.withColumn(
@@ -1199,6 +1244,7 @@ class RoundRunner:
                                      F.coalesce("seen_hit", F.lit(False))))
         survivors = _lc(self._cap("E_survivors", survivors.withColumn(
             "is_dup", (F.col("brn") > 1) | F.col("seen_hit"))))
+        mark("E:survivors")
         n_success = _f_nsuccess.result()
         _nsx.shutdown()
 
@@ -1234,6 +1280,7 @@ class RoundRunner:
             picked, ["fetch_seq", "link_idx"], "qseq", qseq_base,
             counts_by=["queue"], counts_out=_lcnt)
         new_rows = _lc(new_rows.select(*QUEUE_SCHEMA.names))
+        mark("E:links")
         lstats = _lcnt["by"]
         n_links_new = _lcnt["total"]
         st.counters["n_priority"] += lstats.get("priority", 0)

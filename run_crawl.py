@@ -74,6 +74,13 @@ def main() -> None:
     import os
     from pyspark.sql import SparkSession
     builder = SparkSession.builder.appName("larbin-spark-crawl")
+    # only effective when this script owns the JVM (plain `python
+    # run_crawl.py`); under spark-submit the submit args win. The
+    # PySpark local-mode default (1g) OOMs on heavy-page fixtures —
+    # the span payloads of one scheduled batch alone approach it.
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     if os.environ.get("SPARK_GRAFT_PROFILE"):
         # the per-phase job counter reads statusTracker's known-job
         # list, which is capped by spark.ui.retainedJobs (default

@@ -528,19 +528,29 @@ CRAWL_CHECKS = {
          lambda p: all("spans" not in b for b in _broadcast_inputs(p))),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
-    "E_survivors": [
+    "E_links": [
+        # the extract+gate chain up to its once-per-round checkpoint
+        # (every consumer — survivors dedup, gate-error metrics, the
+        # enqueue rank — reads the checkpointed frame, so this plan
+        # is the ONLY execution of the extract mapInPandas)
+        ("link extraction is Arrow (MapInPandas), no row-at-a-time "
+         "Python",
+         lambda p: len(_tree_nodes(p, "MapInPandas")) >= 1
+         and "BatchEvalPython" not in p),
         ("fast-fail slot gate never force-broadcast: with the "
          "audit's threshold=-1, ff_/slot columns in any "
          "BroadcastExchange mean an explicit broadcast hint "
          "regressed (VERDICT r3 #3)",
          lambda p: _no_slot_broadcast(p)),
+    ],
+    "E_survivors": [
         ("URL-seen probed by shuffle join, never broadcast (the seen "
          "table grows without bound)",
          lambda p: all("seen_hit" not in b and "bucket" not in b
                        for b in _broadcast_inputs(p))
          and (_tree_nodes(p, "SortMergeJoin")
               or _tree_nodes(p, "ShuffledHashJoin"))),
-        ("link extraction + gates stay Arrow-side",
+        ("seen dedup + bucket hashing stay Arrow-side",
          lambda p: "BatchEvalPython" not in p),
     ],
 }
