@@ -115,6 +115,120 @@ def url_hash_np(host: pd.Series, port: pd.Series, path: pd.Series,
     return (h % np.uint32(hash_size)).astype(np.int64)
 
 
+def _pow_table(n: int, base: int, mod: int) -> "np.ndarray":
+    """[base^0 % mod, ..., base^(n-1) % mod] as int64, built by
+    vectorized doubling (log n numpy ops, never an O(n) Python loop:
+    a pathological multi-MB document would otherwise pay per-element
+    Python arithmetic)."""
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    p = np.empty(n, dtype=np.int64)
+    p[0] = 1 % mod
+    t = 1
+    while t < n:
+        k = min(t, n - t)
+        # base^(t+i) = base^t * base^i   (values < mod^2 <= 2^54)
+        p[t: t + k] = (int(p[t - 1]) * base % mod) * p[:k] % mod
+        t += k
+    return p
+
+
+def content_hash_np(docs: pd.Series, size: int) -> np.ndarray:
+    """Vectorized hashDup::testSet code (hash_duplicate.cxx:83-95):
+    over chars strictly between 'A' and 'z', code = (23*code + c) %
+    size. Bit-exact with hashes.content_hash.
+
+    Exactness: the mod-inside-the-loop recurrence equals the whole
+    polynomial mod size (mod is a ring homomorphism), so per doc
+    code = sum(c_i * (23^e_i mod size)) % size, with int64
+    accumulation safe while kept_len * 122 * size < 2^63 (docs past
+    that take the scalar kernel). The scalar kernel hashes UTF-8
+    bytes and EXCLUDES bytes outside ('A','z') — every byte of a
+    multi-byte UTF-8 sequence is >= 0x80 and excluded on both paths,
+    so the Arrow UTF-8 buffer yields the identical kept stream.
+
+    Shape: this box (like most) is memory-bound long before it is
+    ALU-bound, so the kernel never materializes per-byte int64
+    companion arrays (exponents/coefficients over the whole buffer).
+    Long docs reduce with one per-doc dot against a shared reversed
+    power table (cache-resident, no intermediates); short docs run a
+    column-wise (23*h + c) %% size recurrence over at most
+    _CH_SHORT_COLS columns, sorted by length so each step is a plain
+    slice.
+    """
+    from .hashes import content_hash
+    ab = _arrow_bytes(docs)
+    if ab is None:
+        return np.fromiter((content_hash(x or "", size) for x in docs),
+                           dtype=np.int64, count=len(docs))
+    # the short-doc column recurrence runs in uint32 and needs
+    # 23*size + 255 < 2^32; for wider sizes (e.g. the 2^40 bucket
+    # space some tests configure) every doc takes the dot path,
+    # which is exact while 122 * size * kept_len < 2^63
+    short_cols = _CH_SHORT_COLS if size <= (1 << 27) else 0
+    data, starts, lens, _ascii = ab
+    n = len(lens)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0 or int(lens.sum()) == 0:
+        return out
+    # after fill_null + combine_chunks the segments are adjacent in
+    # the data buffer: flatten once, boundaries at cumsum(lens)
+    flat = data[starts[0]: starts[-1] + lens[-1]]
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    keep = (flat > 0x41) & (flat < 0x7A)
+    kept = flat[keep]  # uint8
+    # per-doc kept counts via one reduceat pass (never a full-buffer
+    # cumsum: that alone measured ~1.4 s on 21 MB here). reduceat
+    # quirks: equal consecutive indices yield a[i] instead of 0 and
+    # an index == len errors out — clip, then overwrite empty docs.
+    idx = np.minimum(bounds[:-1], max(len(flat) - 1, 0))
+    m = np.add.reduceat(keep, idx, dtype=np.int64)
+    m[lens == 0] = 0
+    kend = np.cumsum(m)
+    kstart = kend - m
+    maxm = int(m.max())
+    if maxm == 0:
+        return out
+    max_kept = (1 << 62) // (122 * size)  # int64 dot headroom
+    pows = _pow_table(min(maxm, max_kept), 23, size)
+    long_idx = np.nonzero(m > short_cols)[0]
+    if len(long_idx):
+        revp = pows[::-1].copy()  # contiguous reversed table
+        plen = len(pows)
+        for i in long_idx:
+            mi = int(m[i])
+            if mi > max_kept:  # pathological doc: exact scalar
+                out[i] = content_hash(docs.iloc[i] or "", size)
+                continue
+            seg = kept[kstart[i]: kend[i]].astype(np.int64)
+            out[i] = int(seg.dot(revp[plen - mi:])) % size
+    # short docs: column recurrence, descending length so the active
+    # set is always a prefix (plain slices, no boolean masks)
+    sel = np.nonzero((m > 0) & (m <= short_cols))[0]
+    if len(sel):
+        order = sel[np.argsort(-m[sel], kind="stable")]
+        ms = m[order]
+        ks = kstart[order]
+        h = np.zeros(len(order), dtype=np.uint32)
+        usize = np.uint32(size)
+        u23 = np.uint32(23)
+        active = len(order)
+        for j in range(int(ms[0])):
+            while active and ms[active - 1] <= j:
+                active -= 1
+            if not active:
+                break
+            c = kept[ks[:active] + j]
+            h[:active] = (h[:active] * u23 + c) % usize
+        out[order] = h
+    return out
+
+
+# column-loop cutoff: past ~256 columns the per-column numpy dispatch
+# exceeds the per-doc dot cost, and short crawl strings stay below it
+_CH_SHORT_COLS = 256
+
+
 def site_hash_np(host: pd.Series, size: int = 20_000) -> np.ndarray:
     """Vectorized siteHashCode (url.cxx:40-46)."""
     ab = _arrow_bytes(host)

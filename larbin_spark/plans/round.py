@@ -993,26 +993,36 @@ class RoundRunner:
             .otherwise("ok"))
         pages = pages.withColumn("page_class", page_class)
 
-        # content-dup gate (hashDup, file.cxx:583-588), in fetch order
+        # content-dup gate (hashDup, file.cxx:583-588), in fetch order.
+        # The page text is RENDERED JVM-side (stable offset-order sort
+        # + concat, exactly kernels/links.render_content: media spans
+        # contribute media_ref, others text, nulls as ''), so only the
+        # one rendered string crosses Arrow into Python, where the
+        # vectorized content hash runs — the old per-page
+        # span-dict conversion + per-byte Python hash was the hot
+        # spot of this phase on realistic page masses.
         if cfg.page_no_duplicate:
-            @F.pandas_udf(T.LongType())
-            def content_bucket_from_spans(spans: pd.Series) -> pd.Series:
-                from ..kernels.hashes import content_hash
-                from ..kernels.links import render_content
-                out = []
-                for sp in spans:
-                    if sp is None:
-                        out.append(0)
-                        continue
-                    tup = [(d["kind"], d["text"], d["media_ref"], d["offset"])
-                           for d in sp]
-                    out.append(content_hash(render_content(tup), cfg.dup_size))
-                return pd.Series(out, dtype="int64")
+            dup_size = cfg.dup_size
 
+            @F.pandas_udf(T.LongType())
+            def content_bucket_udf(rendered: pd.Series) -> pd.Series:
+                from ..kernels.vectorized import content_hash_np
+                return pd.Series(content_hash_np(rendered, dup_size),
+                                 dtype="int64")
+
+            # pack (offset, original index, payload) so the sort is
+            # STABLE on offset ties, like Python's sorted in
+            # render_content; struct comparison never reaches the
+            # payload because the index is unique
+            rendered = F.concat_ws("", F.expr(
+                "transform(array_sort(transform(spans, (s, i) -> "
+                "struct(s.offset as o, i as i, case when s.kind = "
+                "'media' then s.media_ref else s.text end as v))), "
+                "x -> coalesce(x.v, ''))"))
             pages = pages.withColumn(
                 "c_bucket",
                 F.when(F.col("page_class") == "ok",
-                       content_bucket_from_spans("spans")))
+                       content_bucket_udf(rendered)))
             wdup = Window.partitionBy("c_bucket").orderBy("fetch_seq")
             pages = pages.withColumn(
                 "dup_rn", F.when(F.col("c_bucket").isNotNull(),

@@ -117,3 +117,42 @@ def test_long_port_stays_on_arrow_path():
             if want is not None:
                 assert out["url"].iloc[i] == want.url, (impl, raw)
                 assert int(out["port"].iloc[i]) == want.port, (impl, raw)
+
+
+def test_content_hash_np_matches_scalar():
+    """Fuzz parity of the vectorized content hash against the pinned
+    scalar kernel across doc shapes (empty, boundary chars 'A'/'z',
+    non-ASCII multi-byte, short/long/skewed) and bucket sizes (the
+    real DUP_SIZE, small primes, 1, and the 2^40 space some tests
+    configure, which disables the uint32 column path)."""
+    import random
+
+    from larbin_spark.kernels.hashes import DUP_SIZE, content_hash
+    from larbin_spark.kernels.vectorized import content_hash_np
+
+    rng = random.Random(11)
+    cases = ["", "a", "A", "B", "y", "z", "B" * 5000, "Q" * 256,
+             "Q" * 257, "héllo wörld é" * 50, "xy" * 30000,
+             " ".join(f"word{i}" for i in range(800))]
+    for _ in range(300):
+        cases.append("".join(chr(rng.randint(1, 0x2FF))
+                             for _ in range(rng.randint(0, 600))))
+    s = pd.Series(cases)
+    for size in (DUP_SIZE, 997, 1, (1 << 27) + 1, 1 << 40):
+        got = list(content_hash_np(s, size))
+        want = [content_hash(x, size) for x in cases]
+        assert got == want, size
+
+
+def test_content_hash_np_null_and_batchwise():
+    """Nulls hash like empty strings (the render feeds '' for null
+    spans), and a mixed skewed batch routes long docs through the dot
+    path and short docs through the column path with exact results."""
+    from larbin_spark.kernels.hashes import DUP_SIZE, content_hash
+    from larbin_spark.kernels.vectorized import content_hash_np
+
+    s = pd.Series([None, "short doc here", "xy " * 200000, None,
+                   "B" * 300], dtype="object")
+    got = list(content_hash_np(s, DUP_SIZE))
+    want = [content_hash(x or "", DUP_SIZE) for x in s]
+    assert got == want
