@@ -161,6 +161,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf):
         return textstats.fingerprints(_t(spark, sf, "documents"), 16)
 
+    def q_rowsigs(spark, sf):
+        # the inline-curation projection (pipeline/rowsigs) as a
+        # contract surface: every per-row signature computed in ONE
+        # shuffle-free select, while the oracle recomputes each value
+        # through the agg-based SQL the standalone operators pinned —
+        # proving per-row == corpus-pass across engines. mh0..mh3 are
+        # the first LSH band of the 16-wide minhash signature; NULL
+        # for docs with < 3 tokens (the agg path emits no row there).
+        from larbin_spark.pipeline import rowsigs
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "text",
+            rowsigs.minhash_sigs_expr(F.col("text"), 16, 3).alias("_sig"))
+        return (d.select(
+            "doc_id", *rowsigs.curation_cols(F.col("text")),
+            *[F.element_at("_sig", i + 1).alias(f"mh{i}")
+              for i in range(4)])
+            .orderBy("doc_id"))
+
     def q_ann(spark, sf):
         return ann.brute_force_topk(_t(spark, sf, "embeddings"), 5, 10)
 
@@ -546,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_token_counts": q_tokens,
         "text_fingerprint": q_fingerprint,
+        "text_rowsigs": q_rowsigs,
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1114,6 +1133,41 @@ SELECT doc_id,
        substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
          AS fingerprint
 FROM documents ORDER BY doc_id""",
+        # per-row (rowsigs) vs corpus-pass parity: every CTE below is
+        # the EXISTING agg-based oracle construction (shingle minhash,
+        # token simhash, lang argmax, quality) re-joined per doc — the
+        # Spark side computes the same values row-locally in one
+        # shuffle-free projection
+        "text_rowsigs": f"""
+WITH {_SHINGLES_CTE},
+{shb_cte},
+sig AS (SELECT doc_id, {minhash_aggs} FROM shb GROUP BY doc_id),
+tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+h2 AS (SELECT doc_id, CAST({th_digits} AS BIGINT) AS th FROM tok2),
+simagg AS (SELECT doc_id, {sim_bits} FROM h2 GROUP BY doc_id),
+sim AS (SELECT doc_id, {sim_fp} AS simhash FROM simagg),
+langp AS (
+  SELECT doc_id, {pred} AS pred_lang, CAST({g} AS INTEGER) AS pred_score
+  FROM (SELECT doc_id, {score_cols} FROM documents) t),
+qual AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         round(CASE WHEN len(string_split(text, ' ')) < 5 THEN 0.0
+               ELSE least(1.0, len(string_split(text, ' ')) / 200.0) * 0.5
+                    + least(1.0, (({stop_en}) /
+                                  len(string_split(text, ' '))) * 5) * 0.5
+               END, 4) AS quality,
+         substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
+           AS fingerprint
+  FROM documents)
+SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang, l.pred_score,
+       s.simhash, q.fingerprint, sig.mh0, sig.mh1, sig.mh2, sig.mh3
+FROM qual q
+JOIN langp l USING (doc_id)
+JOIN sim s USING (doc_id)
+LEFT JOIN sig USING (doc_id)
+ORDER BY doc_id""",
         "ann_cosine_topk": f"""
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -30,17 +30,19 @@ def _count_token(text_col, token: str):
             / len(needle)).cast("int")
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Stopword-ratio language scorer: predicted lang = argmax of
-    per-language stopword hit counts (deterministic tie-break by
-    language code)."""
-    text = F.col("text")
+def lang_pred_cols(text):
+    """(pred_lang, pred_score) argmax columns of the stopword-ratio
+    language scorer (deterministic tie-break by language code) —
+    expression form so consumers (the inline crawl curation stage,
+    pipeline/rowsigs.py) fuse the prediction into an existing scan
+    instead of joining a second language pass."""
     scores = {lang: sum((_count_token(text, t) for t in toks[1:]),
                         _count_token(text, toks[0]))
               for lang, toks in LANG_STOPWORDS.items()}
-    # argmax with lexicographic tie-break: compare tuples via struct
+    # argmax with lexicographic tie-break: fold in sorted code order,
+    # strict > keeps the first code on ties
     best = None
-    for lang in sorted(scores):  # sorted => ties resolve to first code
+    for lang in sorted(scores):
         cand_score = scores[lang]
         if best is None:
             best = (F.lit(lang), cand_score)
@@ -48,10 +50,18 @@ def lang_id(documents: DataFrame) -> DataFrame:
             take = cand_score > best[1]
             best = (F.when(take, F.lit(lang)).otherwise(best[0]),
                     F.when(take, cand_score).otherwise(best[1]))
+    return best[0], best[1].cast("int")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-ratio language scorer: predicted lang = argmax of
+    per-language stopword hit counts (deterministic tie-break by
+    language code)."""
+    pred_lang, pred_score = lang_pred_cols(F.col("text"))
     return documents.select(
         "doc_id", "lang",
-        best[0].alias("pred_lang"),
-        best[1].cast("int").alias("pred_score")).orderBy("doc_id")
+        pred_lang.alias("pred_lang"),
+        pred_score.alias("pred_score")).orderBy("doc_id")
 
 
 def quality_expr(text=None):
