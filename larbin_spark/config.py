@@ -82,6 +82,18 @@ class CrawlConfig:
     # compactions and every RELOAD_ROUNDS rounds (stats reset).
     async_commit: bool = True
 
+    # inline curation (pipeline/rowsigs): when True, phase F records a
+    # per-page signature row (token count, quality, predicted
+    # language, simhash, fingerprint) for every successful fetch into
+    # the grow-only `curation` table. The signatures are per-row
+    # column expressions fused into the projection over the round's
+    # already-materialized pages — zero extra scans or shuffles per
+    # round, vs re-reading the fetched corpus for each signature
+    # after the crawl (the standalone pipeline/dedup/textstats
+    # operators). Off by default: the reference crawler has no such
+    # stage; this extends it toward the training-data pipeline.
+    curate: bool = False
+
     # stop conditions (O-17)
     max_rounds: int = 0              # 0 = until frontier empty
     limit_page: int = 0              # 0 = unbounded successful pages

@@ -128,6 +128,35 @@ def fingerprint_expr(text=None, prefix_len: int = 16) -> Column:
     return F.substring(F.md5(F.encode(norm, "utf-8")), 1, prefix_len)
 
 
+def spans_text_expr(spans_col: str = "spans") -> Column:
+    """One row's page text from the interleaved span column: the
+    TEXT spans in offset order (stable on ties via the original
+    index, the same pack-sort-unpack idiom the content-dup gate's
+    render uses), joined by single spaces — so the downstream
+    token/shingle signatures see the document exactly as the
+    north-rule span order defines it."""
+    ordered = F.expr(
+        f"transform(array_sort(transform(filter({spans_col}, "
+        f"s -> s.kind = 'text'), (s, i) -> struct(s.offset as o, "
+        f"i as i, s.text as v))), x -> coalesce(x.v, ''))")
+    return F.array_join(ordered, " ")
+
+
+def curation_from_docs(docs_out_new) -> "DataFrame":
+    """The crawl's inline-curation stage: per-page signature rows
+    (plans/state.CURATION_SCHEMA) for the round's successful fetches.
+    Two chained selects so the rendered text is ONE named column the
+    signature expressions share — Catalyst keeps the projections
+    split rather than duplicating the non-cheap render per signature.
+    No shuffle, no extra scan: a projection over the pages phase E
+    already materialized."""
+    rendered = docs_out_new.select(
+        "round", "fetch_seq", "doc_id",
+        spans_text_expr("spans").alias("_ctext"))
+    return rendered.select("round", "fetch_seq", "doc_id",
+                           *curation_cols(F.col("_ctext")))
+
+
 def curation_cols(text) -> list:
     """The inline-curation projection: every per-row signature the
     crawl's curate stage records, as aliased columns ready to splice

@@ -725,6 +725,15 @@ class RoundRunner:
         new_tables["ordering"] = st.ordering.unionByName(ordering_new)
         new_tables["metrics"] = st.metrics.unionByName(metrics_e)
         new_tables["docs_out"] = st.tables["docs_out"].unionByName(docs_out_new)
+        if cfg.curate:
+            # inline curation (pipeline/rowsigs): per-page signatures
+            # as a pure projection over the pages phase E already
+            # materialized — no extra scan, no shuffle; the table is
+            # append-only so each commit writes only this round's rows
+            from ..pipeline.rowsigs import curation_from_docs
+            curation_new = curation_from_docs(docs_out_new)
+            new_tables["curation"] = (st.tables["curation"]
+                                      .unionByName(curation_new))
         # delta bookkeeping for the append-only snapshot commits:
         # union with any rows already pending (e.g. submissions that
         # landed on this state before the round)
@@ -746,6 +755,8 @@ class RoundRunner:
         _acc("ordering", ordering_new)
         _acc("metrics", metrics_e)
         _acc("docs_out", docs_out_new)
+        if cfg.curate:
+            _acc("curation", curation_new)
         C["round"] = rnd + 1
         _mark("F:commit")
         return CrawlState(new_tables, C, deltas, new_bitmaps)

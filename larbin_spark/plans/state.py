@@ -108,16 +108,28 @@ DOCS_OUT_SCHEMA = T.StructType([
     T.StructField("tag", T.IntegerType()),   # URL_TAGS id (url.h:120-123)
 ])
 
+CURATION_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("fetch_seq", T.LongType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("quality", T.DoubleType()),
+    T.StructField("pred_lang", T.StringType()),
+    T.StructField("pred_score", T.IntegerType()),
+    T.StructField("simhash", T.LongType()),
+    T.StructField("fingerprint", T.StringType()),
+])
+
 TABLES = ("queues", "site_fifo", "ip_queue", "slots", "buckets",
           "seen", "dup_seen", "fetch_log", "ordering", "metrics",
-          "docs_out")
+          "docs_out", "curation")
 
 # grow-only tables: per-round snapshots append ONLY the round's delta
 # files (Iceberg-style), never rewrite history — a full rewrite of
 # e.g. docs_out every round would cost O(total) per round, O(R^2)
 # cumulative over a crawl.
 APPEND_ONLY = ("seen", "dup_seen", "fetch_log", "ordering", "metrics",
-               "docs_out")
+               "docs_out", "curation")
 # add/remove tables: `queues` IS the frontier — the one table that is
 # both huge (10^10 rows at the north-rule scale, ~1.2 TB in SCALE.md
 # §1's sizing) and mutated every round. A full rewrite per commit is
@@ -146,6 +158,7 @@ _SCHEMAS = {
     "dup_seen": SEEN_SCHEMA, "fetch_log": FETCH_LOG_SCHEMA,
     "ordering": ORDERING_SCHEMA, "metrics": METRICS_SCHEMA,
     "docs_out": DOCS_OUT_SCHEMA,
+    "curation": CURATION_SCHEMA,
 }
 
 
