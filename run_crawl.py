@@ -63,6 +63,11 @@ def main() -> None:
                     help="durable-commit cadence in rounds (default 1 "
                          "= every round resumable; the reference "
                          "persists periodically too — saveInterval)")
+    ap.add_argument("--curate", action="store_true",
+                    help="inline curation: record per-page rowsig "
+                         "signatures (quality, language, simhash, "
+                         "fingerprint) into the grow-only curation "
+                         "table during the crawl")
     ap.add_argument("--digest", action="store_true",
                     help="also print order-exact digests of the crawl "
                          "ordering, seen set, and emitted docs (for "
@@ -115,6 +120,8 @@ def main() -> None:
         cfg_kw["ip_site_list_size"] = args.ip_site_list_size
     if args.snapshot_every is not None:
         cfg_kw["snapshot_every"] = args.snapshot_every
+    if args.curate:
+        cfg_kw["curate"] = True
     cfg = CrawlConfig(**cfg_kw)
     store = SnapshotStore(args.snapshot_dir) if args.snapshot_dir else None
     import time
