@@ -49,8 +49,14 @@ from larbin_spark.pipeline.textstats import lang_pred_cols, quality_expr
 __all__ = [
     "md5_60_expr", "simhash_expr", "minhash_sigs_expr",
     "fingerprint_expr", "ntokens_expr", "curation_cols",
-    "lang_pred_cols", "quality_expr",
+    "lang_pred_cols", "quality_expr", "CURATION_SIG_NAMES",
 ]
+
+# column names of curation_cols, in order — the crawl's phase E
+# splices the signatures into its pages checkpoint under prefixed
+# names and phase F selects them back out under these
+CURATION_SIG_NAMES = ("n_tokens", "quality", "pred_lang",
+                      "pred_score", "simhash", "fingerprint")
 
 
 def md5_60_expr(col) -> Column:

@@ -696,7 +696,7 @@ class RoundRunner:
 
         # ---------- phase E: fetch + parse + link pipeline ----------
         (queues, seen, seen_delta, dup_seen, dup_delta, log_e,
-         metrics_e, docs_out_new, n_links_new, n_success,
+         metrics_e, docs_out_new, curation_new, n_links_new, n_success,
          new_bitmaps, links_enqueued) = self._phase_e(
             st, fetched, rnd, C["qseq_next"] + n_bounce, queues,
             mark=_mark)
@@ -726,12 +726,13 @@ class RoundRunner:
         new_tables["metrics"] = st.metrics.unionByName(metrics_e)
         new_tables["docs_out"] = st.tables["docs_out"].unionByName(docs_out_new)
         if cfg.curate:
-            # inline curation (pipeline/rowsigs): per-page signatures
-            # as a pure projection over the pages phase E already
-            # materialized — no extra scan, no shuffle; the table is
-            # append-only so each commit writes only this round's rows
-            from ..pipeline.rowsigs import curation_from_docs
-            curation_new = curation_from_docs(docs_out_new)
+            # inline curation (pipeline/rowsigs): the signatures were
+            # computed inside phase E's compute-width checkpoint, so
+            # this union (and the snapshot writer's small-delta
+            # coalesce) moves only precomputed values — no extra
+            # scan, no shuffle, nothing left for the save to narrow;
+            # the table is append-only so each commit writes only
+            # this round's rows
             new_tables["curation"] = (st.tables["curation"]
                                       .unionByName(curation_new))
         # delta bookkeeping for the append-only snapshot commits:
@@ -1076,10 +1077,37 @@ class RoundRunner:
         # checkpoint at COMPUTE width, not state width: ex_in below
         # feeds the link-extraction mapInPandas, whose parallelism is
         # exactly this frame's partition count
-        pages = _lc(self._cap("E_pages", pages.withColumn(
+        pages = pages.withColumn(
             "final_error",
             F.when(F.col("page_class") == "ok", "success")
-            .otherwise(F.col("page_class")))), self.width)
+            .otherwise(F.col("page_class")))
+        if self.cfg.curate:
+            # inline curation computed INSIDE this compute-width
+            # checkpoint. The snapshot writer coalesces small deltas
+            # (sources/catalog.py write_table), and coalesce narrows
+            # its UPSTREAM — a signature projection left lazy for the
+            # save would execute 4-wide no matter how many executors
+            # the cluster has (measured: ~180 s serial tail per
+            # commit window at 2 executors on fat pages). Paying it
+            # here rides the materialization the round already does,
+            # at the round's full parallelism. Failures stay NULL-
+            # cheap: the render is gated to successful pages and
+            # every signature propagates the NULL.
+            from ..pipeline.rowsigs import (
+                CURATION_SIG_NAMES, curation_cols, spans_text_expr,
+            )
+            pages = pages.withColumn(
+                "_ctext", F.when(F.col("final_error") == "success",
+                                 spans_text_expr("spans")))
+            # separate select so the rendered text stays ONE shared
+            # column across the six signatures (CollapseProject keeps
+            # multi-referenced non-cheap expressions split)
+            pages = pages.select(
+                "*", *[c.alias("_cur_" + n) for n, c in
+                       zip(CURATION_SIG_NAMES,
+                           curation_cols(F.col("_ctext")))]) \
+                .drop("_ctext")
+        pages = _lc(self._cap("E_pages", pages), self.width)
         mark("E:pages")
 
         new_bitmaps: dict = {}
@@ -1120,6 +1148,17 @@ class RoundRunner:
         docs_out_new = (pages.filter(F.col("final_error") == "success")
                         .select(F.lit(rnd).alias("round"), "fetch_seq",
                                 "doc_id", "spans", "tag"))
+        curation_new = None
+        if self.cfg.curate:
+            # free column select — the signatures were computed in
+            # the pages checkpoint above (see the curate block there)
+            from ..pipeline.rowsigs import CURATION_SIG_NAMES
+            curation_new = (
+                pages.filter(F.col("final_error") == "success")
+                .select(F.lit(rnd).alias("round"), "fetch_seq",
+                        "doc_id",
+                        *[F.col("_cur_" + n).alias(n)
+                          for n in CURATION_SIG_NAMES]))
 
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi
@@ -1332,8 +1371,8 @@ class RoundRunner:
         # fetch_log; their taxonomy counts live there.
 
         return (queues, seen, seen_delta, dup_seen, dup_new,
-                log_e_pages, metrics_e, docs_out_new, n_links_new,
-                n_success, new_bitmaps, new_rows)
+                log_e_pages, metrics_e, docs_out_new, curation_new,
+                n_links_new, n_success, new_bitmaps, new_rows)
 
     @property
     def _slots_for_fastfail(self) -> DataFrame:
