@@ -405,3 +405,90 @@ def _canonicalize_batch_pandas(raw: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({
         "host": out_host, "port": out_port, "path": out_path,
         "url": out_url, "valid": out_valid})
+
+
+def simhash60_batch(texts: pd.Series, chunk_rows: int = 2048) -> pd.Series:
+    """Vectorized 60-bit SimHash of one Arrow batch of texts —
+    bit-equal to rowsigs.simhash_expr / dedup.simhash60 (same
+    tokenization ``split(text, ' ')`` INCLUDING empty tokens, same
+    md5_60 = first 60 bits of md5, same ``count > 0`` sign rule).
+
+    Why this exists: the expression form folds a 60-long array per
+    token through Catalyst's interpreted higher-order ``aggregate`` —
+    measured 2.9 core-ms/page on 600-word pages, the single largest
+    CPU line of the curating crawl. Here the batch is factorized so
+    md5 runs once per DISTINCT token (real text repeats tokens
+    heavily — Zipf), and the per-document ±1 bit counters become
+    ``count_matrix @ bit_matrix``: counting token occurrences per
+    (doc, distinct-token) via one ``np.bincount`` and handing the
+    60-bit fold to BLAS. Exact in float32 because every operand and
+    partial sum is an integer < 2^24 (guarded). Batches whose
+    vocabulary is too large for the count matrix (low token
+    repetition, or docs with >= 2^24 tokens) fall back to an int32
+    ``cumsum`` segment-sum — same values, bounded memory either way.
+    Measured on 600-word fixture pages: 0.05 ms/doc (matmul path) vs
+    2.9 ms/doc for the expression form.
+
+    The expression form remains the cross-engine contract surface
+    (text_rowsigs); tests/test_rowsigs.py pins this kernel equal to
+    it on real documents plus edge cases.
+    """
+    import hashlib
+    from itertools import chain
+
+    n = len(texts)
+    out = np.zeros(n, np.int64)
+    notna = texts.notna().to_numpy()
+    vals = texts.to_numpy(dtype=object)
+    bit_idx = np.arange(60, dtype=np.uint64)
+    weights = np.uint64(1) << bit_idx
+    cells_budget = 32_000_000  # count-matrix cells per bincount slab
+    rows_all = np.flatnonzero(notna)
+    for lo in range(0, rows_all.size, chunk_rows):
+        rows = rows_all[lo:lo + chunk_rows]
+        toklists = [vals[i].split(" ") for i in rows]
+        # split(" ") never returns [], so every segment is non-empty
+        # and the segment boundaries below are strictly increasing
+        lens = np.fromiter((len(t) for t in toklists), np.int64,
+                           len(toklists))
+        flat = np.asarray(list(chain.from_iterable(toklists)),
+                          dtype=object)
+        codes, uniq = pd.factorize(flat, sort=False)
+        nu = len(uniq)
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8],
+                            "big") >> 4 for u in uniq),
+            np.uint64, nu)
+        delta = (2 * ((uh[:, None] >> bit_idx) & np.uint64(1))
+                 .astype(np.int8) - np.int8(1))  # [uniq, 60] ±1
+        starts = np.zeros(len(rows), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        rows_per_slab = cells_budget // max(nu, 1)
+        if rows_per_slab >= 8 and int(lens.max()) < (1 << 24):
+            # matmul path: per-slab (doc, token) count matrix via one
+            # bincount, then BLAS folds the 60 counters at once
+            deltaf = delta.astype(np.float32)
+            counts = np.empty((len(rows), 60), np.int64)
+            for slo in range(0, len(rows), rows_per_slab):
+                shi = min(slo + rows_per_slab, len(rows))
+                tok_lo, tok_hi = starts[slo], ends[shi - 1]
+                doc_of_tok = np.repeat(
+                    np.arange(shi - slo, dtype=np.int64),
+                    lens[slo:shi])
+                key = doc_of_tok * nu + codes[tok_lo:tok_hi]
+                cnt = np.bincount(
+                    key, minlength=(shi - slo) * nu).reshape(
+                        shi - slo, nu).astype(np.float32)
+                counts[slo:shi] = (cnt @ deltaf).astype(np.int64)
+        else:
+            # high-vocabulary fallback: int32 running sum + diff
+            cs = np.cumsum(delta[codes], axis=0, dtype=np.int32)
+            prev = np.where(starts[:, None] > 0,
+                            cs[np.maximum(starts - 1, 0)], 0)
+            counts = (cs[ends - 1] - prev).astype(np.int64)
+        out[rows] = ((counts > 0) * weights).sum(
+            axis=1, dtype=np.uint64).astype(np.int64)
+    res = pd.Series(pd.array(out, dtype="Int64"), index=texts.index)
+    res[~notna] = pd.NA
+    return res

@@ -50,6 +50,7 @@ __all__ = [
     "md5_60_expr", "simhash_expr", "minhash_sigs_expr",
     "fingerprint_expr", "ntokens_expr", "curation_cols",
     "lang_pred_cols", "quality_expr", "CURATION_SIG_NAMES",
+    "curation_finalize_fn",
 ]
 
 # column names of curation_cols, in order — the crawl's phase E
@@ -146,6 +147,28 @@ def spans_text_expr(spans_col: str = "spans") -> Column:
         f"s -> s.kind = 'text'), (s, i) -> struct(s.offset as o, "
         f"i as i, s.text as v))), x -> coalesce(x.v, ''))")
     return F.array_join(ordered, " ")
+
+
+def curation_finalize_fn():
+    """mapInPandas body for the crawl's inline-curation finalize: the
+    five cheap signatures arrive precomputed (JVM expressions in the
+    phase-E checkpoint); this pass appends ``simhash`` via the
+    vectorized kernel (kernels/vectorized.simhash60_batch, bit-equal
+    to simhash_expr — pinned by tests/test_rowsigs.py) and drops the
+    rendered ``_ctext`` so only ids + signatures flow on. Batch-local,
+    no state — safe at any parallelism."""
+    def fn(batches):
+        from larbin_spark.kernels.vectorized import simhash60_batch
+        order = ["round", "fetch_seq", "doc_id", "n_tokens",
+                 "quality", "pred_lang", "pred_score", "simhash",
+                 "fingerprint"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.drop(columns=["_ctext"]).copy()
+            out["simhash"] = simhash60_batch(pdf["_ctext"])
+            yield out[order]
+    return fn
 
 
 def curation_from_docs(docs_out_new) -> "DataFrame":

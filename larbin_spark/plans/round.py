@@ -1092,7 +1092,10 @@ class RoundRunner:
             # here rides the materialization the round already does,
             # at the round's full parallelism. Failures stay NULL-
             # cheap: the render is gated to successful pages and
-            # every signature propagates the NULL.
+            # every signature propagates the NULL. simhash is NOT
+            # here: its expression form is interpreted-HOF bound
+            # (2.9 core-ms/page measured) — it rides the vectorized
+            # Arrow pass that finalizes curation_new below instead.
             from ..pipeline.rowsigs import (
                 CURATION_SIG_NAMES, curation_cols, spans_text_expr,
             )
@@ -1100,12 +1103,13 @@ class RoundRunner:
                 "_ctext", F.when(F.col("final_error") == "success",
                                  spans_text_expr("spans")))
             # separate select so the rendered text stays ONE shared
-            # column across the six signatures (CollapseProject keeps
+            # column across the signatures (CollapseProject keeps
             # multi-referenced non-cheap expressions split)
             pages = pages.select(
                 "*", *[c.alias("_cur_" + n) for n, c in
                        zip(CURATION_SIG_NAMES,
-                           curation_cols(F.col("_ctext")))]) \
+                           curation_cols(F.col("_ctext")))
+                       if n != "simhash"]) \
                 .drop("_ctext")
         pages = _lc(self._cap("E_pages", pages), self.width)
         mark("E:pages")
@@ -1150,15 +1154,30 @@ class RoundRunner:
                                 "doc_id", "spans", "tag"))
         curation_new = None
         if self.cfg.curate:
-            # free column select — the signatures were computed in
-            # the pages checkpoint above (see the curate block there)
-            from ..pipeline.rowsigs import CURATION_SIG_NAMES
-            curation_new = (
+            # five signatures are a free column select (computed in
+            # the pages checkpoint above); simhash is appended by the
+            # vectorized Arrow kernel (kernels/vectorized.py
+            # simhash60_batch — factorize + bincount + BLAS, 20x the
+            # expression form) over a re-render of the success rows.
+            # Materialized EAGERLY at compute width: curation_new
+            # feeds the snapshot save, whose small-delta coalesce
+            # would otherwise narrow this mapInPandas to 4 workers
+            # regardless of cluster size.
+            from ..pipeline.rowsigs import (
+                CURATION_SIG_NAMES, curation_finalize_fn,
+                spans_text_expr,
+            )
+            from .state import CURATION_SCHEMA
+            cur_base = (
                 pages.filter(F.col("final_error") == "success")
                 .select(F.lit(rnd).alias("round"), "fetch_seq",
                         "doc_id",
                         *[F.col("_cur_" + n).alias(n)
-                          for n in CURATION_SIG_NAMES]))
+                          for n in CURATION_SIG_NAMES
+                          if n != "simhash"],
+                        spans_text_expr("spans").alias("_ctext")))
+            curation_new = _lc(cur_base.mapInPandas(
+                curation_finalize_fn(), CURATION_SCHEMA), self.width)
 
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi

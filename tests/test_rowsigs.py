@@ -88,3 +88,25 @@ def test_rowsigs_plan_has_no_shuffle(spark, docs):
     plan = (docs.select("doc_id", *rowsigs.curation_cols(F.col("text")))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_simhash_kernel_matches_expr(spark, docs):
+    """The vectorized Arrow kernel (the crawl's inline-curation scale
+    path) must be bit-equal to the expression form (the contract
+    surface) — including empty/doubled-space/None edge cases and
+    chunk boundaries."""
+    import pandas as pd
+
+    from larbin_spark.kernels.vectorized import simhash60_batch
+
+    for frame in (docs, _edge_docs(spark)):
+        rows = frame.select("doc_id", "text").collect()
+        texts = pd.Series([r["text"] for r in rows])
+        expr = {r["doc_id"]: r["sh"] for r in frame.select(
+            "doc_id", rowsigs.simhash_expr().alias("sh")).collect()}
+        for chunk in (7, 2048):
+            got = simhash60_batch(texts, chunk_rows=chunk)
+            for r, g in zip(rows, got):
+                assert g == expr[r["doc_id"]], (chunk, r["doc_id"])
+    # None text -> NA (expression form yields NULL)
+    assert simhash60_batch(pd.Series([None], dtype=object))[0] is pd.NA
