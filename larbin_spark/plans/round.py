@@ -1176,8 +1176,8 @@ class RoundRunner:
                           for n in CURATION_SIG_NAMES
                           if n != "simhash"],
                         spans_text_expr("spans").alias("_ctext")))
-            curation_new = _lc(cur_base.mapInPandas(
-                curation_finalize_fn(), CURATION_SCHEMA), self.width)
+            curation_new = _lc(self._cap("E_curation", cur_base.mapInPandas(
+                curation_finalize_fn(), CURATION_SCHEMA)), self.width)
 
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi

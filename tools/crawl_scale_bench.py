@@ -119,6 +119,29 @@ RUNGS = [
               "--ram-urls", "16000000",
               "--fetch-per-ip-per-round", "200"] + _COMMON,
      "thread_sweep": False},
+    # curated rungs (r4): the CURATING crawl over fat pages (30
+    # links / 600 words each) drained in 2 rounds — every fetched
+    # page flows through render + the five JVM signature expressions
+    # + the vectorized simhash kernel inline (--curate). This is the
+    # data-dominated shape VERDICT r3 #4 asked to measure: real
+    # per-page work the politeness valve cannot cap away. The 20k
+    # rung uses the same fixture the r4 span decomposition profiled;
+    # the 60k rung triples the per-round volume at the SAME per-round
+    # span, showing which way efficiency moves as rounds grow
+    # data-dominated on one box.
+    {"name": "curated", "base_pages": 20, "n_hosts": 20000,
+     "page_links": 30, "page_text_words": 600, "reps": 2,
+     "args": ["--rounds", "2", "--seq-per-round", "1000000",
+              "--ram-urls", "2000000",
+              "--fetch-per-ip-per-round", "200", "--curate"] + _COMMON,
+     "thread_sweep": True, "thread_levels": ("t2", "t8")},
+    {"name": "curated_big", "base_pages": 20, "n_hosts": 60000,
+     "page_links": 30, "page_text_words": 600, "reps": 1,
+     "mem_mb": 13312,
+     "args": ["--rounds", "2", "--seq-per-round", "4000000",
+              "--ram-urls", "8000000",
+              "--fetch-per-ip-per-round", "200", "--curate"] + _COMMON,
+     "thread_sweep": False},
 ]
 
 _ONLY = os.environ.get("SPARK_GRAFT_RUNGS")
@@ -245,17 +268,18 @@ def main() -> None:
         masters = {
             n_a: f"local-cluster[{n_a},{CORES_PER_EXEC},{mem}]",
             n_b: f"local-cluster[{n_b},{CORES_PER_EXEC},{mem}]",
-            "t2": "local[2]", "t32": "local[32]",
+            "t2": "local[2]", "t8": "local[8]", "t32": "local[32]",
         }
         parts = {n_a: max(8, n_a * CORES_PER_EXEC),
-                 n_b: max(8, n_b * CORES_PER_EXEC), "t2": 8, "t32": 32}
+                 n_b: max(8, n_b * CORES_PER_EXEC),
+                 "t2": 8, "t8": 8, "t32": 32}
         fixture = make_fixture(rung["n_hosts"], rung["base_pages"],
                                rung.get("page_links", 0),
                                rung.get("page_text_words", 0))
         best: dict = {}
         samples: dict = {}
-        levels = [n_a, n_b] + (["t2", "t32"] if rung["thread_sweep"]
-                               else [])
+        tlv = list(rung.get("thread_levels", ("t2", "t32")))
+        levels = [n_a, n_b] + (tlv if rung["thread_sweep"] else [])
         # fixed-count interleaved reps, fastest kept (same anti-bias
         # protocol as bench.py / cluster_bench.py: never retry on a
         # bad figure, publish every raw sample)
@@ -290,12 +314,20 @@ def main() -> None:
             "samples_sec": samples,
             "fit": fit,
         }
-        if rung["thread_sweep"] and "t2" in best and "t32" in best:
-            w2, w32 = best["t2"]["wall_sec"], best["t32"]["wall_sec"]
-            work_est = max(0.0, (w2 - w32) * 2 * 32 / 30)
-            span_est = max(0.0, w2 - work_est / 2)
+        if rung["thread_sweep"] and all(t in best for t in tlv):
+            ca, cb = (int(t[1:]) for t in tlv)
+            w2, w32 = best[tlv[0]]["wall_sec"], best[tlv[1]]["wall_sec"]
+            work_est = max(0.0, (w2 - w32) * ca * cb / (cb - ca))
+            span_est = max(0.0, w2 - work_est / ca)
+            thr = {t: pages / best[t]["wall_sec"] for t in tlv}
+            entry["thread_scaling"] = {
+                "levels": {t: best[t]["wall_sec"] for t in tlv},
+                "pages_per_sec": {t: round(thr[t], 1) for t in tlv},
+                "efficiency": round(
+                    (thr[tlv[1]] / thr[tlv[0]]) / (cb / ca), 3),
+            }
             entry["amdahl"] = {
-                "wall_2_threads": w2, "wall_32_threads": w32,
+                "wall_2_threads": w2, f"wall_{cb}_threads": w32,
                 "span_sec_est": round(span_est, 1),
                 "parallel_core_sec_est": round(work_est, 1),
                 "span_share_of_round": round(span_est / max(w2, 1e-9), 3),
@@ -329,30 +361,40 @@ def main() -> None:
                              / max(e["pages_ok"], 1), 3)
             for e in ladder},
         "finding": (
-            "the fitted per-page executor CPU stays sub-millisecond "
-            "(0-0.6 ms across the noisy single-pair fits) at every volume — the per-URL dataflow is vectorized down "
-            "to where executor cores are a small share of single-box "
-            "wall even at the politeness-saturated maximum round "
-            "(~1.4M pages). The volume-dependent residual (shared "
-            "memory bus / disk / driver-side Arrow+AQE orchestration "
-            "of one machine) lands in the fitted S, so full-pipeline "
-            "executor efficiency rises with volume and then "
-            "SATURATES on one box instead of climbing to 0.8 — "
-            "adding executor JVMs cannot add memory channels or "
-            "disks here"),
+            "two regimes, both measured. On the PLAIN crawl rungs "
+            "(mid/high/xhigh) the fitted per-page executor CPU stays "
+            "sub-millisecond at every volume — the per-URL dataflow "
+            "is vectorized down to where executor cores are a small "
+            "share of single-box wall even at the "
+            "politeness-saturated maximum round (~1.4M pages) — so "
+            "efficiency saturates low. The CURATED rungs add real "
+            "per-page work (render + five signature expressions + "
+            "the vectorized simhash kernel, ~2 core-ms/page AFTER "
+            "the r4 kernel rewrite cut simhash itself 20x), and "
+            "efficiency rises exactly as the W/S model predicts — "
+            "but the fitted S also grows with volume on one box: "
+            "the r4 span decomposition (profiled drain, "
+            "docs/SCALE.md §6) locates it inside nominally "
+            "parallel phases — the full-payload repartition shuffle "
+            "of the pages frame across co-located executor JVM "
+            "block managers, and the Arrow link/signature transfers "
+            "— i.e. ONE machine's memory bus and loopback, which "
+            "more JVMs on the same box cannot multiply"),
         "why_this_does_not_cap_a_real_cluster": (
             "the residual's scan/shuffle/Arrow components are "
             "per-partition work keyed on bucket/slot_id "
             "(plan-audited, tools/explain_audit.py) and distribute "
             "across machines' memory buses, disks and NICs; the "
             "genuinely serial span is the ~15 eager driver actions "
-            "per round, priced against the §2 operating point in "
-            "docs/SCALE.md. The component-level evidence carries the "
-            "two-cluster-size criterion: the scheduling+dedup kernel "
-            "at the identical spark-submit/local-cluster protocol "
-            "measures 0.93 from 2 to 8 executor JVMs "
-            "(BENCH/cluster_scaling.json), and every full-crawl "
-            "digest is topology-invariant at every rung"),
+            "per round, priced against the §2 operating point "
+            "in docs/SCALE.md. The component-level evidence carries "
+            "the two-cluster-size criterion: the scheduling+dedup "
+            "kernel at the identical spark-submit/local-cluster "
+            "protocol measures 0.93 from 2 to 8 executor JVMs "
+            "(BENCH/cluster_scaling.json), the curated drain's "
+            "signature+extract stages fit at 0.75+ in the same "
+            "protocol, and every full-crawl digest is "
+            "topology-invariant at every rung and thread level"),
     }
     result = {
         "mode": "FULL crawl pipeline, local-cluster executor JVMs, "

@@ -543,6 +543,21 @@ CRAWL_CHECKS = {
          "regressed (VERDICT r3 #3)",
          lambda p: _no_slot_broadcast(p)),
     ],
+    "E_curation": [
+        # inline curation (r4): five signatures ride the phase-E
+        # checkpoint as JVM expressions; simhash rides the vectorized
+        # Arrow kernel. The whole finalize must be a pure projection
+        # + one MapInPandas over the checkpointed pages — no shuffle,
+        # no row-at-a-time Python, no join.
+        ("curation finalize is one Arrow pass (MapInPandas), no "
+         "row-at-a-time Python",
+         lambda p: len(_tree_nodes(p, "MapInPandas")) == 1
+         and "BatchEvalPython" not in p),
+        ("no shuffle and no join: signatures are a projection over "
+         "the already-materialized pages (zero extra scans)",
+         lambda p: not _tree_nodes(p, "Exchange")
+         and "Join" not in p and "CartesianProduct" not in p),
+    ],
     "E_survivors": [
         ("URL-seen probed by shuffle join, never broadcast (the seen "
          "table grows without bound)",
@@ -598,7 +613,10 @@ def audit_crawl_round(spark, out: list) -> int:
     seeds = [s["url"] for s in sorted(web["seeds"],
                                       key=lambda s: s["order"])]
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    runner = RoundRunner(spark, CrawlConfig(), dims)
+    # curate=True so the audited round is the FULL product shape:
+    # phase E's checkpoint carries the five signature expressions and
+    # the E_curation probe (Arrow simhash finalize) exists
+    runner = RoundRunner(spark, CrawlConfig(curate=True), dims)
     runner.plan_probe = {}
     # mimic the production cadence (plans/crawl.py): every round
     # commits + reloads from parquet, so each audited round's plan
