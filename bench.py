@@ -294,6 +294,17 @@ def _ladder_md(cs: dict) -> str:
             f"(eff {e['scaling_efficiency_executors']:.3f}); fitted "
             f"S={f['span_sec_fit']}s, W={f['parallel_core_sec_fit']} "
             f"core-s (W/S={f['w_over_s']})")
+        ts = e.get("thread_scaling")
+        if ts:
+            lvls = ", ".join(f"{t}={ts['levels'][t]}s"
+                             for t in ts["levels"])
+            cores = [int(t.lstrip("t")) for t in ts["levels"]]
+            lines.append(
+                f"    - same job, thread mode ({lvls}): "
+                f"{cores[0]}→{cores[-1]}-core efficiency "
+                f"{ts['efficiency']:.3f} "
+                f"(the north rule's two-parallelism-level protocol "
+                f"on one JVM)")
     p = cs.get("saturation_analysis")
     if p:
         lines.append(
