@@ -299,7 +299,13 @@ def write_parquet(web: dict, outdir: str) -> None:
                                pa.string()),
         "slow": pa.array([d.get("slow", False) for d in docs], pa.bool_()),
     })
-    pq.write_table(doc_tbl, os.path.join(outdir, "documents.parquet"))
+    # bounded row groups: a single giant row group is unsplittable,
+    # which serializes the phase-E docs scan (the round deliberately
+    # runs the per-page compute at SCAN partitioning — no repartition
+    # — so scan parallelism is the input layout's job, exactly as on
+    # a real cluster where tables arrive in many files/row groups)
+    pq.write_table(doc_tbl, os.path.join(outdir, "documents.parquet"),
+                   row_group_size=2048)
     hosts = web["hosts"]
     pq.write_table(pa.table({
         "host": pa.array([h["host"] for h in hosts], pa.string()),

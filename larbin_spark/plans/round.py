@@ -172,7 +172,15 @@ def scale_safe_fetch_join(docs: DataFrame, fetched: DataFrame,
     (tests/test_fetch_join_plan.py asserts this on the physical plan).
 
     materialize pins the hit set so the anti-join doesn't re-scan
-    documents (defaults to the round's localCheckpoint)."""
+    documents (defaults to the round's localCheckpoint).
+
+    NOTE: the production round (_phase_e) inlines the deferred-miss
+    variant of this shape — it checkpoints the hit side once (with
+    all per-page computation riding the same pass, at the docs
+    scan's partitioning, no repartition) and recovers the misses
+    from the checkpoint's bounded url list afterwards. This helper
+    keeps the join-direction contract testable in isolation
+    (tests/test_fetch_join_plan.py) and serves non-round callers."""
     if materialize is None:
         materialize = _lc
     hits = materialize(docs.join(F.broadcast(fetched),
@@ -977,15 +985,27 @@ class RoundRunner:
             F.col("length").alias("d_length"),
             set_cookie_col.alias("set_cookie"),
             slow_col.alias("d_slow"))
-        # materialize the hit set WIDE (round-robin to compute width):
-        # the hits inherit the documents scan's partitioning, which is
-        # both narrow on small inputs and skewed toward hot parquet
-        # files; everything CPU-heavy in this phase (content hash,
-        # link extraction) runs over this frame's partitions
-        pages = scale_safe_fetch_join(
-            docs, fetched,
-            materialize=lambda d: _lc(d.repartition(self.width),
-                                      self.width))
+        # ONE payload pass: the docs scan feeds the broadcast fetch
+        # join and every per-page computation below (render, content
+        # hash, curation signatures) lands in the phase-E checkpoint
+        # at the SCAN's partitioning — the fat spans column is stored
+        # once and never shuffled. The old shape repartition-
+        # materialized the hit set first and ran the dup window over
+        # the full payload: two full-page-mass movements per round
+        # that the r4 span profile showed dominating the curated
+        # rungs' serial residual (and that would dominate outright at
+        # real page masses). Scan parallelism is the INPUT layout's
+        # job, as on a real cluster — fixtures write bounded row
+        # groups (fixtures/webgen.write_parquet). Misses (scheduled
+        # URL with no document = connection-failure analogue,
+        # file.cxx fetch errors) are recovered AFTER the checkpoint
+        # from its bounded url list and unioned back, preserving the
+        # left-outer semantics without a second documents scan.
+        page_cols = [*fetched.columns,
+                     *[f.name for f in docs.schema.fields]]
+        pages = (docs.join(F.broadcast(fetched),
+                           fetched.url == docs.doc_id, "inner")
+                 .select(*page_cols))
 
         ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
         type_ok = (ct.startswith("text/html")
@@ -1031,48 +1051,16 @@ class RoundRunner:
                 "struct(s.offset as o, i as i, case when s.kind = "
                 "'media' then s.media_ref else s.text end as v))), "
                 "x -> coalesce(x.v, ''))"))
+            # only the content BUCKET is computed on the payload
+            # pass; the dup decision itself (first-occurrence window
+            # + seen-set probe) runs AFTER the checkpoint over a
+            # (fetch_seq, c_bucket) projection — the dup window used
+            # to partition the full payload by c_bucket, a second
+            # full-page-mass exchange per round
             pages = pages.withColumn(
                 "c_bucket",
                 F.when(F.col("page_class") == "ok",
                        content_bucket_udf(rendered)))
-            wdup = Window.partitionBy("c_bucket").orderBy("fetch_seq")
-            pages = pages.withColumn(
-                "dup_rn", F.when(F.col("c_bucket").isNotNull(),
-                                 F.row_number().over(wdup)))
-            # dup_seen GROWS without bound as the crawl fetches pages
-            # and must never be broadcast as a table; probe it through
-            # the fixed-size (dup_size bits) bitmap when the config
-            # allows the 8 MB broadcast, else a plain (AQE-planned)
-            # join — same split as the URL-seen probe below.
-            if cfg.seen_bitmap_broadcast:
-                from ..operators.membership import (
-                    seen_bitmap, with_bitmap_hit,
-                )
-                # cached bitmap from the previous round (OR-maintained
-                # below) — rebuild from the table only on a cold state
-                # (bootstrap / resume), never every round
-                dup_bm = st.bitmaps.get("dup_seen")
-                if dup_bm is None:
-                    dup_bm = seen_bitmap(st.dup_seen, cfg.dup_size)
-                pages = pages.withColumn(
-                    "_cb0", F.coalesce("c_bucket", F.lit(0)))
-                pages = with_bitmap_hit(pages, dup_bm, "_cb0",
-                                        "dup_seen_hit")
-                pages = (pages.withColumn(
-                    "dup_seen_hit",
-                    F.col("dup_seen_hit") & F.col("c_bucket").isNotNull())
-                    .drop("_cb0"))
-            else:
-                dup_hit = (st.dup_seen
-                           .select(F.col("bucket").alias("c_bucket"))
-                           .withColumn("dup_seen_hit", F.lit(True)))
-                pages = pages.join(dup_hit, "c_bucket", "left")
-            pages = pages.withColumn(
-                "page_class",
-                F.when((F.col("page_class") == "ok")
-                       & (F.coalesce("dup_seen_hit", F.lit(False))
-                          | (F.col("dup_rn") > 1)), "duplicate")
-                .otherwise(F.col("page_class")))
 
         # checkpoint at COMPUTE width, not state width: ex_in below
         # feeds the link-extraction mapInPandas, whose parallelism is
@@ -1092,7 +1080,12 @@ class RoundRunner:
             # here rides the materialization the round already does,
             # at the round's full parallelism. Failures stay NULL-
             # cheap: the render is gated to successful pages and
-            # every signature propagates the NULL. simhash is NOT
+            # every signature propagates the NULL. (final_error here
+            # is PRE-dup — a page later classed duplicate computes
+            # signatures that the downstream post-dup success filter
+            # then drops; dup pages are a small share and the
+            # alternative is a payload pass after the dup join.)
+            # simhash is NOT
             # here: its expression form is interpreted-HOF bound
             # (2.9 core-ms/page measured) — it rides the vectorized
             # Arrow pass that finalizes curation_new below instead.
@@ -1113,19 +1106,84 @@ class RoundRunner:
                 .drop("_ctext")
         pages = _lc(self._cap("E_pages", pages), self.width)
         mark("E:pages")
+        pages_ck = pages
 
+        # ---- misses (scheduled URL with no document row) ----
+        # recovered from the checkpointed hit set's bounded url list
+        # (both anti-join sides <= |fetched|); every derived column
+        # the hits carry is NULL on a miss except the error class
+        miss_fill = []
+        for f0 in pages_ck.schema.fields:
+            if f0.name in fetched.columns:
+                continue
+            if f0.name in ("page_class", "final_error"):
+                miss_fill.append(F.lit("err40X").alias(f0.name))
+            else:
+                miss_fill.append(F.lit(None).cast(f0.dataType)
+                                 .alias(f0.name))
+        miss = (fetched
+                .join(F.broadcast(pages_ck.select("url")), "url",
+                      "left_anti")
+                .select(*fetched.columns, *miss_fill)
+                .select(*pages_ck.columns))
+        pages = pages_ck.unionByName(miss)
+
+        # ---- content-dup decision over PROJECTED keys (O-13) ----
+        # the first-occurrence window and the dup_seen probe read a
+        # (fetch_seq, c_bucket) projection of the checkpoint — never
+        # the payload. dup_seen GROWS without bound and must never be
+        # broadcast as a table: probe it through the fixed-size
+        # (dup_size bits) bitmap when the config allows the 8 MB
+        # broadcast, else a plain (AQE-planned) join on the slim keys
+        # — same split as the URL-seen probe below. The bounded
+        # per-round verdict frame is then broadcast back onto pages.
         new_bitmaps: dict = {}
         if cfg.page_no_duplicate:
-            # derived from the CHECKPOINTED pages frame so the bitmap
-            # delta scan below doesn't recompute the fetch join
-            dup_new = (pages.filter((F.col("page_class") == "ok")
-                                    | (F.col("page_class") == "duplicate"))
-                       .filter(F.col("dup_rn") == 1)
-                       .filter(~F.coalesce("dup_seen_hit", F.lit(False)))
-                       .select(F.col("c_bucket").alias("bucket")))
-            # testSet sets the bit for the first occurrence even when the
-            # page then fails later gates -- here 'ok'/'duplicate' are the
-            # only classes that reach the dup test, matching endInput order
+            dk = (pages_ck.select("fetch_seq", "c_bucket")
+                  .filter(F.col("c_bucket").isNotNull()))
+            if cfg.seen_bitmap_broadcast:
+                from ..operators.membership import (
+                    seen_bitmap, with_bitmap_hit,
+                )
+                # cached bitmap from the previous round (OR-maintained
+                # below) — rebuild from the table only on a cold state
+                # (bootstrap / resume), never every round
+                dup_bm = st.bitmaps.get("dup_seen")
+                if dup_bm is None:
+                    dup_bm = seen_bitmap(st.dup_seen, cfg.dup_size)
+                dk = with_bitmap_hit(dk, dup_bm, "c_bucket",
+                                     "dup_seen_hit")
+            else:
+                dup_hit = (st.dup_seen
+                           .select(F.col("bucket").alias("c_bucket"))
+                           .withColumn("dup_seen_hit", F.lit(True)))
+                dk = dk.join(dup_hit, "c_bucket", "left")
+            wdup = Window.partitionBy("c_bucket").orderBy("fetch_seq")
+            dk = dk.withColumn("dup_rn", F.row_number().over(wdup))
+            dup_ck = _lc(self._cap("E_dupkeys", dk), self.width)
+            mark("E:dup")
+            pages = pages.join(
+                F.broadcast(dup_ck.select("fetch_seq", "dup_rn",
+                                          "dup_seen_hit")),
+                "fetch_seq", "left")
+            pages = pages.withColumn(
+                "page_class",
+                F.when((F.col("page_class") == "ok")
+                       & (F.coalesce("dup_seen_hit", F.lit(False))
+                          | (F.col("dup_rn") > 1)), "duplicate")
+                .otherwise(F.col("page_class")))
+            pages = pages.withColumn(
+                "final_error",
+                F.when(F.col("page_class") == "ok", "success")
+                .otherwise(F.col("page_class")))
+            # testSet sets the bit for the first occurrence even when
+            # the page then fails later gates — dup_ck rows are
+            # exactly the pages that reach the dup test, matching
+            # endInput order
+            dup_new = (dup_ck.filter(
+                (F.col("dup_rn") == 1)
+                & ~F.coalesce("dup_seen_hit", F.lit(False)))
+                .select(F.col("c_bucket").alias("bucket")))
             dup_seen = st.dup_seen.unionByName(dup_new)
             if cfg.seen_bitmap_broadcast:
                 from ..operators.membership import seen_bitmap as _sbm
@@ -1168,8 +1226,22 @@ class RoundRunner:
                 spans_text_expr,
             )
             from .state import CURATION_SCHEMA
+            # read the HIT side of the checkpoint directly: misses
+            # are never 'success', so the union/anti-join branch is
+            # dead weight here; the post-dup verdict is applied via
+            # the bounded broadcast dup frame (success rows always
+            # carry a non-null dup_rn — c_bucket is non-null for
+            # every pre-dup 'ok' page)
+            cur_src = pages_ck.filter(F.col("final_error") == "success")
+            if cfg.page_no_duplicate:
+                cur_src = (cur_src.join(
+                    F.broadcast(dup_ck.select("fetch_seq", "dup_rn",
+                                              "dup_seen_hit")),
+                    "fetch_seq", "left")
+                    .filter(~(F.coalesce("dup_seen_hit", F.lit(False))
+                              | (F.coalesce("dup_rn", F.lit(1)) > 1))))
             cur_base = (
-                pages.filter(F.col("final_error") == "success")
+                cur_src
                 .select(F.lit(rnd).alias("round"), "fetch_seq",
                         "doc_id",
                         *[F.col("_cur_" + n).alias(n)

@@ -154,7 +154,11 @@ def gen_params(n_hosts: int, base_pages: int, page_links: int = 0,
                page_text_words: int = 0) -> dict:
     return {"seed": 777, "n_hosts": n_hosts, "base_pages": base_pages,
             "hot_hosts": 40, "hot_factor": 6, "ip_rewrite": "v1",
-            "page_links": page_links, "page_text_words": page_text_words}
+            "page_links": page_links, "page_text_words": page_text_words,
+            # layout fingerprint: bounded row groups (splittable docs
+            # scan); content is identical, only row-group boundaries
+            # moved, so the crawl digests must not change
+            "layout": "rg2048"}
 
 
 def make_fixture(n_hosts: int, base_pages: int, page_links: int = 0,

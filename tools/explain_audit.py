@@ -527,6 +527,30 @@ CRAWL_CHECKS = {
          "carries spans/doc_id beyond the bounded batch",
          lambda p: all("spans" not in b for b in _broadcast_inputs(p))),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("the page payload is never shuffled: every Exchange in the "
+         "payload pass is a BroadcastExchange (docs scan -> broadcast "
+         "fetch join -> per-page compute -> checkpoint, at the scan's "
+         "partitioning; the round-robin repartition materialization "
+         "is gone)",
+         lambda p: not re.findall(
+             r"(?<![A-Za-z])Exchange [^\n(]*\(\d+\)", p)),
+        ("no Window over the payload: the dup decision runs on the "
+         "projected-keys stage (E_dupkeys), never here",
+         lambda p: len(_tree_nodes(p, "Window")) == 0),
+    ],
+    "E_dupkeys": [
+        ("dup decision reads the checkpointed (fetch_seq, c_bucket) "
+         "projection — no documents rescan, no content-hash "
+         "recompute (the hash lives in the E_pages checkpoint)",
+         lambda p: "documents.parquet" not in p
+         and "ArrowEvalPython" not in p),
+        ("the only window partitions by c_bucket (content-hash "
+         "buckets, bounded groups — never the payload frame)",
+         lambda p: len(re.findall(
+             r"windowspecdefinition\([^)]*\)", p)) >= 1
+         and all(w.startswith("windowspecdefinition(c_bucket")
+                 for w in re.findall(
+                     r"windowspecdefinition\([^)]*\)", p))),
     ],
     "E_links": [
         # the extract+gate chain up to its once-per-round checkpoint
@@ -553,10 +577,16 @@ CRAWL_CHECKS = {
          "row-at-a-time Python",
          lambda p: len(_tree_nodes(p, "MapInPandas")) == 1
          and "BatchEvalPython" not in p),
-        ("no shuffle and no join: signatures are a projection over "
-         "the already-materialized pages (zero extra scans)",
-         lambda p: not _tree_nodes(p, "Exchange")
-         and "Join" not in p and "CartesianProduct" not in p),
+        ("no shuffle: signatures are a projection over the already-"
+         "materialized pages; the only join is the map-side "
+         "broadcast of the bounded per-round dup verdicts (no "
+         "documents rescan, no payload exchange)",
+         lambda p: not re.findall(
+             r"(?<![A-Za-z])Exchange [^\n(]*\(\d+\)", p)
+         and not _tree_nodes(p, "SortMergeJoin")
+         and not _tree_nodes(p, "ShuffledHashJoin")
+         and "CartesianProduct" not in p
+         and "documents.parquet" not in p),
     ],
     "E_survivors": [
         ("URL-seen probed by shuffle join, never broadcast (the seen "
@@ -615,8 +645,12 @@ def audit_crawl_round(spark, out: list) -> int:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     # curate=True so the audited round is the FULL product shape:
     # phase E's checkpoint carries the five signature expressions and
-    # the E_curation probe (Arrow simhash finalize) exists
-    runner = RoundRunner(spark, CrawlConfig(curate=True), dims)
+    # the E_curation probe (Arrow simhash finalize) exists;
+    # page_no_duplicate=True so the projected-keys dup stage
+    # (E_dupkeys) exists and its scale properties are asserted
+    runner = RoundRunner(spark, CrawlConfig(curate=True,
+                                            page_no_duplicate=True),
+                         dims)
     runner.plan_probe = {}
     # mimic the production cadence (plans/crawl.py): every round
     # commits + reloads from parquet, so each audited round's plan
