@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.keep_best_per_cluster(_t(spark, sf, "documents"),
                                            16, 4, 3)
 
+    def q_substring(spark, sf):
+        return dedup.substring_dedup(_t(spark, sf, "documents"), 5)
+
     def q_langid(spark, sf):
         return textstats.lang_id(_t(spark, sf, "documents"))
 
@@ -560,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_clusters": q_clusters,
         "dedup_keep_best": q_keep_best,
+        "dedup_substring": q_substring,
         "text_lang_id": q_langid,
         "text_quality": q_quality,
         "text_token_counts": q_tokens,
@@ -1096,6 +1100,35 @@ ranked AS (
 SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality,
        cluster_size
 FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
+        # substring-level dedup (k=5): duplicated-k-gram removal with
+        # a canonical first occurrence by the sortable doc:pos key —
+        # mirrors pipeline/dedup.py substring_dedup exactly
+        "dedup_substring": """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, p,
+         array_to_string(toks[p:p+4], ' ') AS kg,
+         doc_id || ':' || lpad(p::VARCHAR, 10, '0') AS okey
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS p
+        FROM tok)),
+grp AS (SELECT kg, count(*) AS cnt, min(okey) AS canon
+        FROM occ GROUP BY kg),
+rem AS (SELECT o.doc_id, o.p FROM occ o JOIN grp g USING (kg)
+        WHERE g.cnt > 1 AND o.okey <> g.canon),
+rps AS (SELECT doc_id, list(p) AS ps FROM rem GROUP BY doc_id),
+built AS (
+  SELECT t.doc_id, len(t.toks) AS n_tok,
+         list_filter(list_transform(range(1, len(t.toks) + 1), i ->
+           CASE WHEN len(list_filter(coalesce(r.ps, []), p ->
+                        p <= i AND i <= p + 4)) > 0
+                THEN NULL ELSE t.toks[i] END), x -> x IS NOT NULL) AS kept
+  FROM tok t LEFT JOIN rps r USING (doc_id))
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+       CAST(n_tok - len(kept) AS INT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS kept_text
+FROM built ORDER BY doc_id""",
         "dedup_simhash": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -39,7 +39,7 @@ HEADLINE = [
     "text_quality", "ann_cosine_topk", "curation_decontaminate",
     "curation_budget_pack", "curation_pipeline", "curation_pii_scrub",
     "curation_training_shuffle", "ann_quantize", "graph_pagerank",
-    "dedup_semantic", "text_bpe_merges",
+    "dedup_semantic", "text_bpe_merges", "dedup_substring",
 ]
 
 

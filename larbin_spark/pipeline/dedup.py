@@ -320,3 +320,80 @@ def keep_best_per_cluster(documents: DataFrame, n_hashes: int = 16,
                     F.col("best.quality").alias("keep_quality"),
                     "cluster_size")
             .orderBy("cluster_id"))
+
+
+def substring_dedup(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Substring-level exact dedup: remove every token covered by a
+    duplicated k-gram, keeping one canonical occurrence per k-gram
+    corpus-wide (the training-data scrub of Lee et al. 2022,
+    arXiv:2107.06499 — their suffix-array pass finds repeated
+    substrings; this is the distributed k-gram-granularity form of
+    the same semantics, the granularity big pipelines actually ship).
+
+    Deterministic rule, exact on both engines: a k-gram occurrence is
+    (doc_id, p) with p the 1-based token position; occurrences of a
+    k-gram that appears more than once corpus-wide are removed except
+    the canonical one = min over the sortable key
+    ``doc_id:zero-padded(p)``. A token is dropped iff covered by any
+    removed occurrence (positions p..p+k-1). Output per doc: token
+    count, removed-token count, and the scrubbed text.
+
+    Scale shape (100 TB):
+    - k-gram construction is a zero-shuffle HOF over split(text) —
+      no per-doc window, so no doc_id exchange;
+    - the k-gram group-count/min shuffles O(occurrences) rows of
+      (kg, okey) with map-side partial agg; shuffling the k-gram
+      TEXT is deliberate — exactness beats the ~2x byte saving of a
+      hash key, and a 64-bit hash would make removal collisions
+      corpus-poisoning rather than benign;
+    - the occurrence->verdict join is a plain hash join on kg (AQE
+      splits the stop-k-gram skew); only REMOVED occurrences
+      (O(duplicated mass), not O(tokens)) flow into the per-doc
+      collect;
+    - the rebuild is a per-row HOF filter, zero exchanges; the
+      exists() probe is O(n_tok * removals_in_doc), bounded by the
+      doc's own duplicated mass.
+    """
+    if k < 1:
+        raise ValueError(f"substring_dedup: k must be >= 1, got {k}")
+    toks = F.split(F.col("text"), " ")
+    base = documents.select("doc_id", toks.alias("toks"),
+                            F.size(toks).alias("n_tok"))
+    npos = F.greatest(F.col("n_tok") - (k - 1), F.lit(0))
+    # sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — gate
+    # short docs to an empty position array before the transform
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)) \
+        .otherwise(F.array().cast("array<int>"))
+    occ = (base.select(
+        "doc_id",
+        F.explode(F.transform(
+            positions,
+            lambda p: F.struct(
+                p.alias("p"),
+                F.concat_ws(" ", F.slice("toks", p, k)).alias("kg"))))
+        .alias("o"))
+        .select("doc_id", F.col("o.p").alias("p"), F.col("o.kg").alias("kg"),
+                F.concat_ws(":", F.col("doc_id"),
+                            F.lpad(F.col("o.p").cast("string"), 10, "0"))
+                .alias("okey")))
+    grp = occ.groupBy("kg").agg(F.count(F.lit(1)).alias("cnt"),
+                                F.min("okey").alias("canon"))
+    removed = (occ.join(grp, "kg")
+               .filter((F.col("cnt") > 1) & (F.col("okey") != F.col("canon")))
+               .groupBy("doc_id")
+               .agg(F.collect_list("p").alias("rps")))
+    out = base.join(removed, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.coalesce(F.col("rps"), F.array().cast("array<int>")),
+        lambda p: (p <= i) & (i <= p + (k - 1)))
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(1), F.col("n_tok")),
+                    lambda i: F.when(covered(i),
+                                     F.lit(None).cast("string"))
+                    .otherwise(F.element_at("toks", i))),
+        lambda x: x.isNotNull())
+    return (out.select(
+        "doc_id", "n_tok",
+        (F.col("n_tok") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("kept_text"))
+        .orderBy("doc_id"))

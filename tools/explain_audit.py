@@ -96,6 +96,16 @@ CHECKS = {
          and "MapInPandas" not in p),
         ("single hash exchange", lambda p: _n_hash_exchanges(p) == 1),
     ],
+    "dedup_substring": [
+        ("pure JVM HOF k-grams + rebuild (no Python stage)",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-side partial count on the k-gram agg",
+         lambda p: "partial_count" in p),
+        ("no cartesian product (occurrence->verdict is keyed on kg)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "text_quality": [
         ("pure JVM column arithmetic (no Python at all)",
          lambda p: "ArrowEvalPython" not in p and "BatchEvalPython" not in p
