@@ -372,6 +372,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "queue", "force_seen")
                 .orderBy("host", "path"))
 
+    def q_streaming_windowed_counts(spark, sf):
+        # O-19's windowed rate as a REAL Structured Streaming run
+        # with a watermark: events parquet read with readStream +
+        # trigger(availableNow), event-time 1h tumbling windows per
+        # event_type, APPEND mode — so the result is exactly the
+        # windows the final watermark (max ts - 1h) closed, which
+        # the DuckDB oracle reproduces with a time_bucket + max(ts)
+        # predicate. Hash-matched oracle for the stateful-streaming
+        # path, not a rows-only check.
+        import os
+        import shutil
+        import tempfile
+        from larbin_spark.streaming.input_stream import (
+            windowed_event_counts)
+        if not spark.sparkContext.master.startswith("local"):
+            raise NotImplementedError(
+                "streaming_windowed_counts' scratch handoff assumes "
+                "a local master (shared driver/executor filesystem); "
+                "point the source/checkpoint dirs at cluster-visible "
+                "storage to run it on a real cluster")
+        batch_schema = _t(spark, sf, "events").schema
+        scratch = tempfile.mkdtemp(prefix="larbin_stream_win_")
+        qname = "windowed_counts_contract_sink"
+        spark.catalog.dropTempView(qname)
+        try:
+            os.makedirs(f"{scratch}/in")
+            # the file streaming source requires a directory
+            os.symlink(os.path.join(sf, "events.parquet"),
+                       f"{scratch}/in/events.parquet")
+            stream = (spark.readStream.schema(batch_schema)
+                      .parquet(f"{scratch}/in"))
+            q = (windowed_event_counts(stream).writeStream
+                 .format("memory").queryName(qname)
+                 .outputMode("append")
+                 .option("checkpointLocation", f"{scratch}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        return (spark.table(qname)
+                .select(F.col("window.start").cast("long")
+                        .alias("window_start"), "event_type", "n")
+                .orderBy("window_start", "event_type"))
+
     def q_indegree(spark, sf):
         from larbin_spark.pipeline import graph
         return graph.link_stats(_t(spark, sf, "documents"))
@@ -382,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_top_terms(spark, sf):
         return textstats.top_terms(_t(spark, sf, "documents"), 5)
+
+    def q_unigram_surprisal(spark, sf):
+        return textstats.unigram_surprisal(_t(spark, sf, "documents"))
 
     def q_url_filter(spark, sf):
         # O-5 (checker.cxx:70-90 filter1) as a contract row: the
@@ -592,8 +639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_pagerank,
         "graph_indegree": q_indegree,
         "streaming_intake": q_streaming_intake,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "analytics_quantiles": q_quantiles,
         "text_top_terms": q_top_terms,
+        "text_unigram_surprisal": q_unigram_surprisal,
         "crawl_url_filter": q_url_filter,
         "crawl_robots_gate": q_robots_gate,
         "crawl_canonicalize": q_canonicalize,
@@ -1591,6 +1640,20 @@ SELECT CAST(priority AS INT) AS priority, CAST(depth AS INT) AS depth,
        CASE WHEN priority > 0 THEN 'priority' ELSE 'disk' END AS queue,
        (test = 0) AS force_seen
 FROM s ORDER BY host, path""",
+        # the append-mode watermark contract: a window is emitted
+        # exactly when the final watermark (max event ts - 1h delay)
+        # passes its end. time_bucket is epoch-aligned like Spark's
+        # window(); the NTZ parquet timestamps are interpreted as
+        # UTC on both engines.
+        "streaming_windowed_counts": """
+WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start, event_type, n
+FROM w, mx
+WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+ORDER BY window_start, event_type""",
         # exact quantiles: smallest v with cumulative count >=
         # ceil(p*n/100), integer threshold on both engines
         "analytics_quantiles": """
@@ -1614,6 +1677,24 @@ r AS (SELECT lang, token, cnt,
       FROM c)
 SELECT lang, token, cnt, CAST(rnk AS INT) AS rnk
 FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
+        # integer-exact unigram surprisal: bits(n) = binary-digit
+        # count (format('{:b}') here, conv(n,10,2) on Spark) — no
+        # libm, so the hash comparison never sees a float
+        "text_unigram_surprisal": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+c AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+w AS (SELECT token,
+             length(format('{:b}', (SELECT tot FROM tot)))
+             - length(format('{:b}', cnt)) AS wt
+      FROM c)
+SELECT t2.doc_id,
+       CAST(sum(w.wt) AS BIGINT) AS surprisal_bits,
+       count(*) AS n_tokens
+FROM t2 JOIN w USING (token)
+GROUP BY t2.doc_id ORDER BY t2.doc_id""",
         # same deterministic PII injection as the Spark side; the
         # patterns are the shared curation.PII_PATTERNS literals
         # (Java and RE2 agree on this regex subset). Counts over the

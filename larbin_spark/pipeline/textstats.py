@@ -125,6 +125,45 @@ def fingerprints(documents: DataFrame, prefix_len: int = 16) -> DataFrame:
         .alias("fingerprint")).orderBy("doc_id")
 
 
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Model-free perplexity proxy (the CCNet/Gopher-style
+    lm-quality signal, without shipping a language model): score
+    each document by the summed rarity of its unigrams against the
+    corpus's own unigram distribution.
+
+    Per-token surprisal is integerized so no float ever crosses the
+    contract hash: wt(token) = bits(total_tokens) - bits(cnt(token))
+    where bits(n) = number of binary digits of n — an exact
+    floor(log2(total/cnt)) within 1 bit, computed as the length of
+    the base-2 rendering on BOTH engines (Spark `conv(n,10,2)`,
+    DuckDB `format('{:b}', n)`), no libm in sight. Downstream
+    filters threshold on surprisal_bits/n_tokens (high = rare-token
+    soup, low = boilerplate).
+
+    Plan shape at 100 TB: one explode scan -> token hash-agg with
+    map-side partials (vocabulary-sized result) -> one-row total
+    broadcast -> hash join of the occurrence stream back on token
+    (stopword keys are hot; AQE skew-split divides them, and the
+    join never materializes pairs beyond the occurrence stream
+    itself) -> per-doc hash-agg. Three shuffles, all keyed, none
+    quadratic.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tok = tok.where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    bits = lambda c: F.length(F.conv(c, 10, 2))  # noqa: E731
+    weights = (counts.join(F.broadcast(total))
+               .select("token", (bits(F.col("tot"))
+                                 - bits(F.col("cnt"))).alias("wt")))
+    return (tok.join(weights, "token")
+            .groupBy("doc_id")
+            .agg(F.sum("wt").cast("long").alias("surprisal_bits"),
+                 F.count("*").alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
 def top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-k tokens per language by count (ties broken by token) —
     vocabulary inspection for corpus curation. One explode scan,

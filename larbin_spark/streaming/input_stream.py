@@ -89,6 +89,46 @@ def windowed_submission_rate(spark: SparkSession, drop_dir: str,
             .agg(F.count("*").alias("n")))
 
 
+def windowed_event_counts(events_stream: DataFrame,
+                          window: str = "1 hour",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling-window counts per event_type over any
+    streaming DataFrame with (ts, event_type) — the O-19 windowed
+    rate as a genuine Structured Streaming plan: watermark for late
+    data, append output mode.
+
+    Append-mode emission contract (pinned empirically + in the
+    driver contract): a window row is emitted exactly when the final
+    watermark passes its end, i.e. window_end <= max(event ts) -
+    watermark delay. Trailing windows that the watermark never
+    passes stay in state and are NOT emitted — that is the
+    watermark semantics, not data loss; a live deployment emits
+    them as later events arrive. (Spark truncates event times to
+    ms when tracking the watermark, so the boundary is exact only
+    away from sub-millisecond window-edge coincidences.)
+
+    Scale: the streaming agg is a partial-agg + state-store update
+    keyed on (window, event_type) — state is bounded by
+    #types x #open-windows inside the watermark horizon, and the
+    watermark evicts closed windows every batch.
+    """
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(events_stream.schema["ts"].dataType, TimestampNTZType):
+        # watermarks require TIMESTAMP; interpret parquet NTZ wall
+        # time as UTC WITHOUT touching spark.sql.session.timeZone (a
+        # plain cast shifts by the session zone and would misalign
+        # the hour windows under a non-UTC driver)
+        epoch_us = F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        ts = F.timestamp_micros(epoch_us)
+    else:
+        ts = F.col("ts")
+    return (events_stream.withColumn("ts", ts)
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n")))
+
+
 SESSION_STATE_SCHEMA = "n_urls LONG, first_ts TIMESTAMP, last_ts TIMESTAMP"
 SESSION_OUT_SCHEMA = ("host STRING, session_urls LONG, "
                       "session_seconds DOUBLE, closed BOOLEAN")

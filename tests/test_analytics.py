@@ -303,6 +303,18 @@ def test_exact_quantiles_skips_nulls_and_duplicates(spark):
     assert out == {50: 5, 75: 5, 100: 9}
 
 
+def test_unigram_surprisal_integer_exact(spark):
+    from larbin_spark.pipeline import textstats
+    docs = spark.createDataFrame(
+        [(1, "the the the rare"), (2, "the the"), (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.surprisal_bits, r.n_tokens)
+            for r in textstats.unigram_surprisal(docs).collect()}
+    # corpus: the x5, rare x1, total 6 tokens -> bits(6)=3,
+    # wt(the)=3-bits(5)=0, wt(rare)=3-bits(1)=2
+    assert rows == {1: (2, 4), 2: (0, 2)}  # doc 3 (empty) drops out
+
+
 def test_top_terms_rank_and_ties(spark):
     from larbin_spark.pipeline import textstats
     docs = spark.createDataFrame(

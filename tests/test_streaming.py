@@ -62,6 +62,53 @@ def test_windowed_rate_plan_is_streaming(spark, tmp_path):
     assert spark.table("subrate").columns == ["window", "host", "n"]
 
 
+def test_windowed_event_counts_watermark_and_tz(spark, tmp_path):
+    """Append mode emits exactly the windows whose end the final
+    watermark (max ts - delay) passed, and the NTZ->event-time
+    conversion is UTC-epoch-aligned regardless of the session
+    timezone (a plain NTZ cast would shift the window boundaries
+    under a non-UTC driver)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+    from larbin_spark.streaming.input_stream import windowed_event_counts
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    rows = [
+        (datetime(2024, 1, 1, 0, 10), "a"),   # window [00:00,01:00)
+        (datetime(2024, 1, 1, 0, 50), "a"),
+        (datetime(2024, 1, 1, 1, 20), "b"),   # window [01:00,02:00)
+        (datetime(2024, 1, 1, 3, 0, 1), "a"),  # max ts; wm = 02:00:01
+    ]
+    pq.write_table(pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string())}),
+        str(src / "events.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (windowed_event_counts(stream).writeStream
+             .format("memory").queryName("wec_test")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r.ws, r.event_type): r.n for r in spark.sql(
+            "select cast(window.start as long) ws, event_type, n "
+            "from wec_test").collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.catalog.dropTempView("wec_test")
+    h0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    # watermark 02:00:01 closes [00:00,01:00) and [01:00,02:00);
+    # the max-ts window [03:00,04:00) stays open and is NOT emitted
+    assert got == {(h0, "a"): 2, (h0 + 3600, "b"): 1}
+
+
 def test_host_session_tracker_stateful(spark, tmp_path):
     """applyInPandasWithState: per-host state accumulates across
     micro-batches and emits running session rows."""

@@ -144,6 +144,7 @@ RUNGS = [
      "thread_sweep": False},
 ]
 
+_ALL_RUNG_NAMES = [{"name": r["name"]} for r in RUNGS]
 _ONLY = os.environ.get("SPARK_GRAFT_RUNGS")
 if _ONLY:
     _names = {s.strip() for s in _ONLY.split(",")}
@@ -351,6 +352,29 @@ def main() -> None:
             capture_output=True, text=True, check=True).stdout.strip()
     except Exception:
         commit = "unknown"
+    for e in ladder:
+        e["generated_at_commit"] = commit
+
+    out_json = os.path.join(ROOT, "BENCH", "crawl_scaling.json")
+    if _ONLY:
+        # Subset run (SPARK_GRAFT_RUNGS): refresh the named rungs in
+        # place, keep the rest of the ladder from the existing
+        # artifact. Each entry carries its own generated_at_commit so
+        # mixed provenance is explicit, never silent.
+        try:
+            with open(out_json) as fp:
+                old = json.load(fp)
+            prior = {e["rung"]: e for e in old["ladder"]}
+            for e in prior.values():
+                e.setdefault("generated_at_commit",
+                             old.get("generated_at_commit", "unknown"))
+        except (OSError, ValueError, KeyError):
+            prior = {}
+        fresh = {e["rung"]: e for e in ladder}
+        order = [r["name"] for r in _ALL_RUNG_NAMES]
+        ladder = [fresh.get(name, prior.get(name))
+                  for name in order
+                  if name in fresh or name in prior]
 
     # headline = the rung at the measured efficiency frontier (the
     # saturation rung beyond it exists to show the plateau, not to
@@ -432,7 +456,6 @@ def main() -> None:
         "amdahl": mid.get("amdahl", {}),
     }
     print(json.dumps(result))
-    out_json = os.path.join(ROOT, "BENCH", "crawl_scaling.json")
     with open(out_json, "w") as fp:
         json.dump(result, fp, indent=1)
 

@@ -160,6 +160,21 @@ CHECKS = {
         ("value counts compressed with map-side partial aggregation",
          lambda p: "partial_count" in p),
     ],
+    "text_unigram_surprisal": [
+        ("pure JVM (explode/conv/hash-agg), no Python stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-side partial aggregation of token counts",
+         lambda p: "partial_count" in p),
+        ("the occurrence->weight join is keyed (hash/sort-merge on "
+         "token), never cartesian; the only nested-loop join is the "
+         "single-row corpus-total broadcast",
+         lambda p: "CartesianProduct" not in p
+         and len(_tree_nodes(p, "BroadcastNestedLoopJoin")) <= 1
+         and len(_tree_nodes(p, "ShuffledHashJoin"))
+         + len(_tree_nodes(p, "SortMergeJoin"))
+         + len(_tree_nodes(p, "BroadcastHashJoin")) >= 1),
+    ],
     "text_top_terms": [
         ("map-side top-k (WindowGroupLimit before shuffle)",
          lambda p: p.count("WindowGroupLimit") >= 2),
