@@ -430,6 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_unigram_surprisal(spark, sf):
         return textstats.unigram_surprisal(_t(spark, sf, "documents"))
 
+    def q_tfidf_keywords(spark, sf):
+        return textstats.tfidf_keywords(_t(spark, sf, "documents"), 3)
+
     def q_url_filter(spark, sf):
         # O-5 (checker.cxx:70-90 filter1) as a contract row: the
         # REAL kernel pandas UDF over synthesized URLs that exercise
@@ -643,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_quantiles": q_quantiles,
         "text_top_terms": q_top_terms,
         "text_unigram_surprisal": q_unigram_surprisal,
+        "text_tfidf_keywords": q_tfidf_keywords,
         "crawl_url_filter": q_url_filter,
         "crawl_robots_gate": q_robots_gate,
         "crawl_canonicalize": q_canonicalize,
@@ -1695,6 +1699,27 @@ SELECT t2.doc_id,
        count(*) AS n_tokens
 FROM t2 JOIN w USING (token)
 GROUP BY t2.doc_id ORDER BY t2.doc_id""",
+        # tf x integer idf_bits, top-3 per doc, ties by token asc
+        "text_tfidf_keywords": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token <> '' GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+idf AS (SELECT token,
+               length(format('{:b}', (SELECT n_docs FROM n)))
+               - length(format('{:b}', df)) AS idf_bits
+        FROM df),
+s AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf_bits AS score
+      FROM tf JOIN idf USING (token)),
+r AS (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rnk
+      FROM s)
+SELECT doc_id, token, CAST(score AS BIGINT) AS score,
+       CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
         # same deterministic PII injection as the Spark side; the
         # patterns are the shared curation.PII_PATTERNS literals
         # (Java and RE2 agree on this regex subset). Counts over the

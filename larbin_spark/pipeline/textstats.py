@@ -164,6 +164,45 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-k tokens by tf x idf,
+    with idf integerized the same libm-free way as
+    unigram_surprisal — idf_bits(token) = bits(N_docs) - bits(df)
+    (base-2 digit counts, exact on both engines), score = tf *
+    idf_bits, ties broken by token asc then nothing else (the score
+    is an int).
+
+    Plan shape at 100 TB: explode -> (doc_id, token) hash-agg (tf)
+    -> token hash-agg (df, vocabulary-sized) -> one-row N broadcast
+    -> keyed join tf x df on token -> per-doc top-k window. The
+    window partitions by doc_id (groups are doc-vocabulary-sized)
+    and the rank<=k filter is pushed map-side (WindowGroupLimit),
+    so no reducer ever sees more than k x #map-partitions rows per
+    doc.
+    """
+    from pyspark.sql import Window
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = (tok.where(F.col("token") != "")
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    bits = lambda c: F.length(F.conv(c, 10, 2))  # noqa: E731
+    idf = (df.join(F.broadcast(n_docs))
+           .select("token", (bits(F.col("n_docs"))
+                             - bits(F.col("df"))).alias("idf_bits")))
+    scored = (tf.join(idf, "token")
+              .select("doc_id", "token",
+                      (F.col("tf") * F.col("idf_bits")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("doc_id", "token", F.col("score").cast("long")
+                    .alias("score"), F.col("rnk").cast("int").alias("rnk"))
+            .orderBy("doc_id", "rnk"))
+
+
 def top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-k tokens per language by count (ties broken by token) —
     vocabulary inspection for corpus curation. One explode scan,

@@ -315,6 +315,19 @@ def test_unigram_surprisal_integer_exact(spark):
     assert rows == {1: (2, 4), 2: (0, 2)}  # doc 3 (empty) drops out
 
 
+def test_tfidf_keywords_integer_idf(spark):
+    from larbin_spark.pipeline import textstats
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string")
+    rows = [(r.doc_id, r.token, r.score, r.rnk)
+            for r in textstats.tfidf_keywords(docs, 2).collect()]
+    # N=2 docs with tokens, bits(2)=2; idf_bits: a=1, b=0, c=1
+    # d1 scores: a=2*1, b=1*0; d2: c=1*1, b=1*0
+    assert rows == [(1, "a", 2, 1), (1, "b", 0, 2),
+                    (2, "c", 1, 1), (2, "b", 0, 2)]
+
+
 def test_top_terms_rank_and_ties(spark):
     from larbin_spark.pipeline import textstats
     docs = spark.createDataFrame(

@@ -175,6 +175,22 @@ CHECKS = {
          + len(_tree_nodes(p, "SortMergeJoin"))
          + len(_tree_nodes(p, "BroadcastHashJoin")) >= 1),
     ],
+    "text_tfidf_keywords": [
+        ("pure JVM, no Python stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-side partial aggregation of tf counts",
+         lambda p: "partial_count" in p),
+        ("per-doc top-k pushed map-side (WindowGroupLimit)",
+         lambda p: p.count("WindowGroupLimit") >= 2),
+        ("tf x idf join is keyed, never cartesian (only nested-loop "
+         "join is the single-row N broadcast)",
+         lambda p: "CartesianProduct" not in p
+         and len(_tree_nodes(p, "BroadcastNestedLoopJoin")) <= 1
+         and len(_tree_nodes(p, "ShuffledHashJoin"))
+         + len(_tree_nodes(p, "SortMergeJoin"))
+         + len(_tree_nodes(p, "BroadcastHashJoin")) >= 1),
+    ],
     "text_top_terms": [
         ("map-side top-k (WindowGroupLimit before shuffle)",
          lambda p: p.count("WindowGroupLimit") >= 2),
