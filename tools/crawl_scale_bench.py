@@ -259,6 +259,29 @@ def _fit(wall_n: float, wall_4n: float, n: int) -> dict:
             "w_core_sec_for_eff_0_8": round(11 * n * s, 1)}
 
 
+def merge_ladder(fresh_entries: list, prior_artifact: dict | None,
+                 rung_order: list) -> list:
+    """Merge a subset run's fresh ladder entries over a prior
+    artifact's ladder, preserving the canonical rung order and each
+    entry's own generated_at_commit (prior entries inherit the prior
+    artifact's top-level commit when they predate per-rung
+    provenance)."""
+    prior = {}
+    if prior_artifact:
+        try:
+            prior = {e["rung"]: e for e in prior_artifact["ladder"]}
+            for e in prior.values():
+                e.setdefault(
+                    "generated_at_commit",
+                    prior_artifact.get("generated_at_commit", "unknown"))
+        except (KeyError, TypeError):
+            prior = {}
+    fresh = {e["rung"]: e for e in fresh_entries}
+    return [fresh.get(name, prior.get(name))
+            for name in rung_order
+            if name in fresh or name in prior]
+
+
 def main() -> None:
     subprocess.run([sys.executable,
                     os.path.join(ROOT, "tools", "package_pyfiles.py")],
@@ -364,17 +387,10 @@ def main() -> None:
         try:
             with open(out_json) as fp:
                 old = json.load(fp)
-            prior = {e["rung"]: e for e in old["ladder"]}
-            for e in prior.values():
-                e.setdefault("generated_at_commit",
-                             old.get("generated_at_commit", "unknown"))
-        except (OSError, ValueError, KeyError):
-            prior = {}
-        fresh = {e["rung"]: e for e in ladder}
-        order = [r["name"] for r in _ALL_RUNG_NAMES]
-        ladder = [fresh.get(name, prior.get(name))
-                  for name in order
-                  if name in fresh or name in prior]
+        except (OSError, ValueError):
+            old = None
+        ladder = merge_ladder(ladder, old,
+                              [r["name"] for r in _ALL_RUNG_NAMES])
 
     # headline = the rung at the measured efficiency frontier (the
     # saturation rung beyond it exists to show the plateau, not to
