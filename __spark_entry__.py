@@ -291,6 +291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic.semantic_dedup(_t(spark, sf, "embeddings"),
                                        k=8, iters=2, threshold=0.3)
 
+    def q_pq_codes(spark, sf):
+        # product quantization over the shared deterministic k-means
+        # core: m independent subspace Lloyd runs, codes long-form;
+        # the oracle regenerates each subspace chain as CTEs over
+        # 1-based inclusive list slices
+        from larbin_spark.pipeline import semantic
+        return semantic.pq_codes(_t(spark, sf, "embeddings"),
+                                 m=4, k=4, iters=2)
+
     def q_bpe(spark, sf):
         # distributed BPE merge induction: 3 rounds of corpus-wide
         # top-pair selection + greedy left-to-right rewrite folds
@@ -637,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_training_shuffle": q_training_shuffle,
         "ann_quantize": q_quantize,
         "dedup_semantic": q_semantic,
+        "ann_pq_codes": q_pq_codes,
         "curation_prototype_prune": q_prototype,
         "text_bpe_merges": q_bpe,
         "graph_pagerank": q_pagerank,
@@ -720,41 +730,72 @@ def _kmeans_cos_sql(a: str, b: str) -> str:
             f"sqrt(list_dot_product({b}, {b})))")
 
 
+_PTS_CTE = ("pts AS (\n"
+            "  SELECT vec_id, list_transform(embedding::DOUBLE[],\n"
+            "           x -> floor(x * 1000000.0 + 0.5)) AS p\n"
+            "  FROM embeddings)")
+
+
+def _kmeans_chain(k: int, iters: int, sfx: str = "",
+                  src: str = "pts") -> list:
+    """CTE list for one fixed-iteration Lloyd run over `src`
+    (vec_id, p), with every CTE name suffixed by `sfx` so several
+    independent runs (PQ subspaces) can share one WITH clause. Ends
+    at asg{iters}{sfx} (vec_id, p, cluster, cc)."""
+    cos = _kmeans_cos_sql
+    parts = [f"cent0{sfx} AS (SELECT vec_id AS cid, p AS c FROM {src}"
+             f" WHERE vec_id < {k})"]
+    for i in range(iters + 1):
+        parts.append(
+            f"asg{i}{sfx} AS (\n"
+            f"  SELECT vec_id, p, cid AS cluster, cc FROM (\n"
+            f"    SELECT {src}.vec_id, {src}.p, c.cid,\n"
+            f"           round({cos(f'{src}.p', 'c.c')}, 6) AS cc,\n"
+            f"           row_number() OVER (PARTITION BY {src}.vec_id\n"
+            f"             ORDER BY round({cos(f'{src}.p', 'c.c')}, 6)"
+            f" DESC NULLS LAST, c.cid) AS rn\n"
+            f"    FROM {src} CROSS JOIN cent{i}{sfx} c) WHERE rn = 1)")
+        if i < iters:
+            parts.append(
+                f"ex{i}{sfx} AS (SELECT cluster, unnest(p) AS v,\n"
+                f"  unnest(range(1, len(p) + 1)) AS pos FROM asg{i}{sfx})")
+            parts.append(
+                f"cent{i + 1}{sfx} AS (\n"
+                f"  SELECT cluster AS cid, list(m ORDER BY pos) AS c"
+                f" FROM (\n"
+                f"    SELECT cluster, pos, sum(v) / count(*) AS m\n"
+                f"    FROM ex{i}{sfx} GROUP BY 1, 2) GROUP BY cluster)")
+    return parts
+
+
 def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
     """Generated WITH-chain mirroring pipeline.semantic's fixed-
     iteration Lloyd loop 1:1: e6-integerized points (exact integer
     dots/sums on both engines), first-k init, round-6 + lowest-cid
     argmax, centroids = exact-integer-sum / count. Ends at
     asg{iters} (vec_id, p, cluster, cc)."""
-    cos = _kmeans_cos_sql
-    parts = [
-        "WITH pts AS (\n"
-        "  SELECT vec_id, list_transform(embedding::DOUBLE[],\n"
-        "           x -> floor(x * 1000000.0 + 0.5)) AS p\n"
-        "  FROM embeddings),\n"
-        f"cent0 AS (SELECT vec_id AS cid, p AS c FROM pts"
-        f" WHERE vec_id < {k})"]
-    for i in range(iters + 1):
-        parts.append(
-            f"asg{i} AS (\n"
-            f"  SELECT vec_id, p, cid AS cluster, cc FROM (\n"
-            f"    SELECT pts.vec_id, pts.p, c.cid,\n"
-            f"           round({cos('pts.p', 'c.c')}, 6) AS cc,\n"
-            f"           row_number() OVER (PARTITION BY pts.vec_id\n"
-            f"             ORDER BY round({cos('pts.p', 'c.c')}, 6)"
-            f" DESC NULLS LAST, c.cid) AS rn\n"
-            f"    FROM pts CROSS JOIN cent{i} c) WHERE rn = 1)")
-        if i < iters:
-            parts.append(
-                f"ex{i} AS (SELECT cluster, unnest(p) AS v,\n"
-                f"  unnest(range(1, len(p) + 1)) AS pos FROM asg{i})")
-            parts.append(
-                f"cent{i + 1} AS (\n"
-                f"  SELECT cluster AS cid, list(m ORDER BY pos) AS c"
-                f" FROM (\n"
-                f"    SELECT cluster, pos, sum(v) / count(*) AS m\n"
-                f"    FROM ex{i} GROUP BY 1, 2) GROUP BY cluster)")
-    return ",\n".join(parts)
+    return ",\n".join(["WITH " + _PTS_CTE] + _kmeans_chain(k, iters))
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 2,
+            dim: int = 64) -> str:
+    """DuckDB re-implementation of semantic.pq_codes: one Lloyd
+    chain per contiguous subvector slice (1-based inclusive list
+    slicing), codes unioned long-form."""
+    sub = dim // m
+    parts = [_PTS_CTE]
+    sels = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"pts_s{j} AS (SELECT vec_id, p[{lo}:{hi}] AS p"
+                     f" FROM pts)")
+        parts += _kmeans_chain(k, iters, sfx=f"_s{j}", src=f"pts_s{j}")
+        sels.append(f"SELECT vec_id, {j} AS subspace,"
+                    f" CAST(cluster AS INTEGER) AS code,"
+                    f" cc AS cos_code FROM asg{iters}_s{j}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(sels)
+            + "\nORDER BY vec_id, subspace")
 
 
 def _bpe_sql(k_rounds: int = 3) -> str:
@@ -1551,6 +1592,7 @@ FROM m ORDER BY vec_id""",
         # SemDeDup: the generated CTE chain mirrors the Spark Lloyd
         # loop iteration-for-iteration (see _semantic_sql)
         "dedup_semantic": _semantic_sql(k=8, iters=2, threshold=0.3),
+        "ann_pq_codes": _pq_sql(m=4, k=4, iters=2, dim=64),
         "curation_prototype_prune": _prototype_sql(k=8, iters=2,
                                                    prune_frac=0.3),
         "text_bpe_merges": _bpe_sql(k_rounds=3),

@@ -176,6 +176,48 @@ def semantic_dedup(embeddings: DataFrame, k: int = 8, iters: int = 2,
             .orderBy("vec_id"))
 
 
+def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 4,
+             iters: int = 2) -> DataFrame:
+    """Product quantization (Jegou et al., TPAMI 2011 — the
+    spherical/cosine variant) over the shared deterministic k-means
+    core: split each embedding into m contiguous subvectors,
+    Lloyd-quantize each subspace independently, and emit one row per
+    (vector, subspace) with the chosen codeword id and the round-6
+    cosine to it. The m k-row codebooks are the compressed
+    representation an ANN-at-scale index stores (m*log2(k) bits per
+    vector); asymmetric distance scans decode against the same
+    codebooks.
+
+    Scale shape: each subspace run is the audited k-means dataflow —
+    assignment is a broadcast fold (zero corpus exchanges), centroid
+    update shuffles O(k * dim/m) — and the m runs are independent
+    jobs over the same scan, so the whole op is m broadcast-fold
+    passes plus a union; nothing pairwise, nothing corpus-wide
+    beyond the scans."""
+    from ..operators.sequence import PLAN_PROBE
+    from .ann import infer_dim
+    dim = infer_dim(embeddings)
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), j * sub + 1, sub)
+            .alias("embedding"))
+        asg = kmeans_assignments(sliced, k, iters)
+        # each subspace call clears its predecessor's kmeans: probes,
+        # so the registered set audits the LAST subspace — the shared
+        # dataflow all m runs execute
+        PLAN_PROBE["kmeans:assigned"] = asg
+        a = asg.select("vec_id", F.lit(j).alias("subspace"),
+                       F.col("cluster").cast("int").alias("code"),
+                       F.col("cc").alias("cos_code"))
+        out = a if out is None else out.unionByName(a)
+    return out.orderBy("vec_id", "subspace")
+
+
 def prototype_prune(embeddings: DataFrame, k: int = 8, iters: int = 2,
                     prune_frac: float = 0.3) -> DataFrame:
     """SSL-prototypes-style coreset selection (Sorscher et al.,

@@ -4,7 +4,7 @@ pruning semantics, and the lowest-id-representative convention."""
 from pyspark.sql import functions as F
 
 from larbin_spark.pipeline.semantic import (
-    kmeans_assignments, prototype_prune, semantic_dedup,
+    kmeans_assignments, pq_codes, prototype_prune, semantic_dedup,
 )
 
 SCHEMA = "vec_id long, embedding array<float>"
@@ -115,3 +115,27 @@ def test_plan_broadcasts_centroids_not_points(spark):
     # and the lineage is truncated: the probe's plan reads the
     # checkpointed k-row centroids, not a nested Lloyd chain
     assert "ExistingRDD" in plan
+
+
+def test_pq_codes_shape_and_subspace_independence(spark):
+    # 4-dim vectors, m=2 subspaces of 2 dims: rows engineered so the
+    # two subspaces cluster DIFFERENTLY — PQ must quantize each
+    # independently (codes differ across subspaces for vec 2)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.98, 0.02]),  # sub0 ~ vec0, sub1 ~ vec1
+        (3, [0.0, 0.97, 0.01, 0.99]),   # sub0 ~ vec1, sub1 ~ vec0
+    ]
+    out = pq_codes(_df(spark, rows), m=2, k=2, iters=1)
+    got = {(r.vec_id, r.subspace): r.code for r in out.collect()}
+    assert len(got) == 8  # one code per (vector, subspace)
+    assert all(0 <= c <= 1 for c in got.values())
+    assert got[(2, 0)] == got[(0, 0)] and got[(2, 1)] == got[(1, 1)]
+    assert got[(3, 0)] == got[(1, 0)] and got[(3, 1)] == got[(0, 1)]
+
+
+def test_pq_codes_rejects_indivisible_dim(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        pq_codes(_df(spark, [(0, [1.0, 0.0, 0.0])]), m=2)

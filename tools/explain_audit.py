@@ -339,6 +339,26 @@ CHECKS = {
          lambda p: re.search(r"keys \[\d+\]: \[cluster",
                              _main_section(p)) is not None),
     ],
+    "ann_pq_codes": [
+        ("pure JVM subspace quantization (no Python stage)",
+         lambda p: "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("no cartesian product: the only nested-loop joins are the "
+         "single-row broadcast codebook-array attachments",
+         lambda p: "CartesianProduct" not in p),
+        ("in the assignment probes every broadcast subtree is "
+         "k-bounded (init Filter or collect_list codebook agg)",
+         lambda p: _centroid_broadcasts_only(_probe_plans(p))),
+        ("codebook update partial-aggregates map-side",
+         lambda p: "partial_sum" in p),
+        ("the final assignment fold is shuffle-free: zero hash "
+         "exchanges in the kmeans:assigned probe",
+         lambda p: _probe_section(p, "kmeans:assigned") != ""
+         and _n_hash_exchanges(_probe_section(p, "kmeans:assigned"))
+         == 0),
+        ("all m subspace runs union in one plan",
+         lambda p: "Union" in _main_section(p)),
+    ],
     "text_bpe_merges": [
         ("pure JVM token folds (no Python stage)",
          lambda p: "ArrowEvalPython" not in p
@@ -661,6 +681,11 @@ PRE_CHECKPOINT_PROBES = {
     "dedup_semantic": ["kmeans:cent1", "kmeans:cent2",
                        "kmeans:assigned"],
     "curation_prototype_prune": ["kmeans:cent1", "kmeans:cent2"],
+    # pq_codes runs the same Lloyd core once per subspace; the
+    # registered probes are the LAST subspace's (each call clears
+    # its predecessor's), which audits the shared dataflow
+    "ann_pq_codes": ["kmeans:cent1", "kmeans:cent2",
+                     "kmeans:assigned"],
     # the per-round top-pair plans are consumed at build time (one
     # bounded driver row each); audited via the registered probes
     "text_bpe_merges": ["bpe:top1", "bpe:top2", "bpe:top3"],
