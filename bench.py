@@ -40,7 +40,7 @@ HEADLINE = [
     "curation_budget_pack", "curation_pipeline", "curation_pii_scrub",
     "curation_training_shuffle", "ann_quantize", "graph_pagerank",
     "dedup_semantic", "text_bpe_merges", "dedup_substring",
-    "text_unigram_surprisal", "text_tfidf_keywords",
+    "text_unigram_surprisal", "text_tfidf_keywords", "ann_pq_codes",
 ]
 
 
