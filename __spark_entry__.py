@@ -266,6 +266,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_repetition(spark, sf):
         return curation.repetition_stats(_t(spark, sf, "documents"))
 
+    def q_dsir(spark, sf):
+        # DSIR hashed-ngram importance weights vs the lang='en'
+        # target slice; oracle rebuilds every bucket from md5 digit
+        # sums and the same integer-bits importance
+        return curation.dsir_weights(_t(spark, sf, "documents"),
+                                     1024, "en")
+
+    def q_temperature_mix(spark, sf):
+        return curation.temperature_mix(_t(spark, sf, "documents"),
+                                        1_000_000)
+
+    def q_bigram_surprisal(spark, sf):
+        return textstats.bigram_surprisal(_t(spark, sf, "documents"))
+
     def q_budget_pack(spark, sf):
         return curation.budget_pack(_t(spark, sf, "documents"), 20000)
 
@@ -639,6 +653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontaminate": q_decontaminate,
         "curation_stratified_sample": q_stratified,
         "curation_repetition": q_repetition,
+        "curation_dsir_weights": q_dsir,
+        "curation_temperature_mix": q_temperature_mix,
+        "text_bigram_surprisal": q_bigram_surprisal,
         "curation_budget_pack": q_budget_pack,
         "curation_pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curate_mix,
@@ -1490,6 +1507,62 @@ SELECT per_doc.doc_id, n_bigrams, top_bigram_n,
        round(top_bigram_n / n_bigrams, 6) AS top_bigram_frac,
        round(1 - n_dist / n_tok, 6) AS dup_token_frac
 FROM per_doc JOIN toks USING (doc_id) ORDER BY doc_id""",
+        # DSIR hashed-ngram importance weights: unigrams + adjacent
+        # bigrams -> md5_60 % 1024 buckets (digit-sum, the same
+        # construction as the bloom/minhash oracles), target = the
+        # lang='en' slice, importance integerized with the bits()
+        # digit-count trick (+1 Laplace) — mirrors
+        # curation.dsir_weights exactly
+        "curation_dsir_weights": f"""
+WITH tok AS (SELECT doc_id, lang,
+                    unnest(string_split(text, ' ')) AS w,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents),
+t2 AS (SELECT doc_id, lang, w, pos FROM tok WHERE w <> ''),
+big0 AS (SELECT doc_id, lang,
+                concat(w, ' ', lead(w,1) OVER win) AS gram,
+                lead(w,1) OVER win AS g
+         FROM t2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, lang, w AS gram FROM t2
+          UNION ALL
+          SELECT doc_id, lang, gram FROM big0 WHERE g IS NOT NULL),
+hx0 AS (SELECT doc_id, lang, md5(gram) AS hx FROM grams),
+b AS (SELECT doc_id, lang,
+             CAST(({_bloom_digits(1)}) % 1024 AS BIGINT) AS bucket
+      FROM hx0),
+raw AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+wt AS (SELECT raw.bucket, CAST(cr AS BIGINT) AS cr,
+              CAST(coalesce(ct, 0) AS BIGINT) AS ct,
+              length(format('{{:b}}', coalesce(ct, 0) + 1))
+              - length(format('{{:b}}', cr + 1)) AS imp
+       FROM raw LEFT JOIN tgt USING (bucket)),
+tots AS (SELECT CAST(sum(cr) AS BIGINT) AS tot_r,
+                CAST(sum(ct) AS BIGINT) AS tot_t FROM wt)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(imp) + count(*) *
+            (length(format('{{:b}}', (SELECT tot_r FROM tots)))
+             - length(format('{{:b}}', (SELECT tot_t FROM tots))))
+            AS BIGINT) AS dsir_bits
+FROM b JOIN wt USING (bucket)
+GROUP BY b.doc_id ORDER BY b.doc_id""",
+        # alpha=0.5 temperature mixture allocation: integer sqrt
+        # weights, truncating integer division for the allocation —
+        # mirrors curation.temperature_mix
+        "curation_temperature_mix": """
+WITH per AS (SELECT lang,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(list_filter(string_split(text, ' '),
+                                             x -> x <> ''))) AS BIGINT)
+                      AS n_tokens
+             FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight FROM per),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tot_w FROM w)
+SELECT lang, n_docs, n_tokens, weight,
+       CAST((weight * 1000000) // (SELECT tot_w FROM tot) AS BIGINT)
+         AS alloc_tokens
+FROM w ORDER BY lang""",
         "curation_budget_pack": f"""
 WITH q AS (
   SELECT doc_id, source,
@@ -1741,6 +1814,33 @@ SELECT t2.doc_id,
        count(*) AS n_tokens
 FROM t2 JOIN w USING (token)
 GROUP BY t2.doc_id ORDER BY t2.doc_id""",
+        # conditional bigram surprisal: wt = bits(ctx(w1)) -
+        # bits(cnt(w1 w2)), context mass = sum of bigram counts by
+        # first word — mirrors textstats.bigram_surprisal
+        "text_bigram_surprisal": """
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split(text, ' ')) AS w,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents),
+t2 AS (SELECT doc_id, w, pos FROM tok WHERE w <> ''),
+big0 AS (SELECT doc_id,
+                concat(w, ' ', lead(w,1) OVER win) AS bigram,
+                lead(w,1) OVER win AS g
+         FROM t2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+occ AS (SELECT doc_id, bigram FROM big0 WHERE g IS NOT NULL),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM occ GROUP BY 1),
+ctx AS (SELECT string_split(bigram, ' ')[1] AS w1,
+               CAST(sum(cnt) AS BIGINT) AS ctx
+        FROM cnt GROUP BY 1),
+wt AS (SELECT bigram,
+              length(format('{:b}', ctx))
+              - length(format('{:b}', cnt)) AS wt
+       FROM cnt JOIN ctx ON string_split(cnt.bigram, ' ')[1] = ctx.w1)
+SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(wt) AS BIGINT) AS bigram_bits
+FROM occ JOIN wt USING (bigram)
+GROUP BY occ.doc_id ORDER BY occ.doc_id""",
         # tf x integer idf_bits, top-3 per doc, ties by token asc
         "text_tfidf_keywords": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -339,3 +339,116 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
                     F.round(1 - F.col("n_dist") / F.col("n_tok"), 6)
                     .alias("dup_token_frac"))
             .orderBy("doc_id"))
+
+
+def _grams_expr():
+    """Unigrams + adjacent bigrams of the space-tokenized text as ONE
+    array column — built entirely with JVM higher-order functions, so
+    the gram stream costs zero shuffles and zero Python. Empty tokens
+    are filtered BEFORE adjacency, so bigrams pair the surviving
+    sequence (the oracle's lead()-after-filter does the same)."""
+    ws = "filter(split(text, ' '), x -> x <> '')"
+    return F.expr(
+        f"concat({ws}, zip_with("
+        f"  slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
+        f"  slice({ws}, 2, greatest(size({ws}) - 1, 0)),"
+        f"  (a, b) -> concat(a, ' ', b)))")
+
+
+def dsir_weights(documents: DataFrame, n_buckets: int = 1024,
+                 target_lang: str = "en") -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Data Selection
+    via Importance Resampling, Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much its hashed unigram+bigram
+    feature profile resembles a target domain relative to the raw
+    corpus — the published recipe for selecting pretraining data
+    that matches a small high-quality target set.
+
+    Features: unigrams + adjacent bigrams hashed into `n_buckets`
+    via the engine-portable md5_60 (% n_buckets). The target
+    distribution here is the in-corpus subset `lang = target_lang`
+    (the sandbox stand-in for an external target corpus; a real run
+    substitutes the target set on that side and nothing changes).
+    Per-bucket log-importance is integerized with the same libm-free
+    base-2-digit-count construction as unigram_surprisal:
+
+        imp(b)    = bits(cnt_target(b) + 1) - bits(cnt_raw(b) + 1)
+        dsir_bits = sum_g imp(bucket(g))
+                    + n_grams * (bits(tot_raw) - bits(tot_target))
+
+    i.e. an exact-integer rendering of
+    sum_g log2 p_target(bucket(g)) / p_raw(bucket(g)) with +1
+    (Laplace) smoothing — no float ever crosses the contract hash.
+
+    Scale (100 TB): gram construction is a zero-shuffle HOF
+    projection; the two count tables are bucket hash-aggs whose
+    results are `n_buckets` rows (broadcast side by construction,
+    like DSIR's own fixed 10^4-bucket hash table); the occurrence
+    stream is joined map-side against that broadcast and reduced by
+    one per-doc hash-agg. One corpus-sized shuffle total (the
+    per-doc agg), independent of vocabulary size.
+    """
+    grams = documents.select(
+        "doc_id", "lang", F.explode(_grams_expr()).alias("gram"))
+    b = grams.select(
+        "doc_id", "lang",
+        (_md5_60(F.col("gram")) % n_buckets).alias("bucket"))
+    raw = b.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (b.filter(F.col("lang") == target_lang)
+           .groupBy("bucket").agg(F.count("*").alias("ct")))
+    bits = lambda c: F.length(F.conv(c, 10, 2))  # noqa: E731
+    wt = (raw.join(tgt, "bucket", "left")
+          .select("bucket", "cr",
+                  F.coalesce("ct", F.lit(0)).alias("ct")))
+    wt = wt.select(
+        "bucket", "cr", "ct",
+        (bits(F.col("ct") + 1) - bits(F.col("cr") + 1)).alias("imp"))
+    tots = wt.agg(F.sum("cr").alias("tot_r"), F.sum("ct").alias("tot_t"))
+    return (b.join(F.broadcast(wt.select("bucket", "imp")), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("imp").alias("_s_imp"))
+            .join(F.broadcast(tots))
+            .select("doc_id",
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    (F.col("_s_imp")
+                     + F.col("n_grams")
+                     * (bits(F.col("tot_r")) - bits(F.col("tot_t"))))
+                    .cast("long").alias("dsir_bits"))
+            .orderBy("doc_id"))
+
+
+def temperature_mix(documents: DataFrame,
+                    budget_tokens: int = 1_000_000) -> DataFrame:
+    """Temperature-based multilingual mixture allocation (the
+    alpha = 0.5 exponentiated-sampling recipe of mBERT / XLM-R,
+    Conneau et al. 2019 arXiv:1911.02116 §3): per language, weight
+    the corpus's token mass by mass^alpha so low-resource languages
+    are up-sampled relative to proportional sampling, then allocate
+    an integer token budget by those weights.
+
+    alpha is fixed at 0.5 so the exponentiation is exact integer
+    arithmetic on both engines: weight = floor(sqrt(n_tokens))
+    (IEEE sqrt is correctly rounded, exact on perfect squares), and
+    alloc_tokens = (weight * budget) div sum(weights) — truncating
+    integer division on both engines; no float crosses the contract
+    hash.
+
+    Scale: one corpus pass with a per-language hash-agg (map-side
+    partials; languages are a tiny group space), a one-row total
+    broadcast, and pure column arithmetic — the same shape at 100 TB.
+    """
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    per = documents.groupBy("lang").agg(
+        F.sum(n_tok).alias("n_tokens"), F.count("*").alias("n_docs"))
+    per = per.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    tot = per.agg(F.sum("weight").alias("tot_w"))
+    return (per.join(F.broadcast(tot))
+            .select("lang",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "weight",
+                    F.expr(f"(weight * {int(budget_tokens)}) div tot_w")
+                    .cast("long").alias("alloc_tokens"))
+            .orderBy("lang"))

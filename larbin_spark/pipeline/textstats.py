@@ -222,3 +222,53 @@ def top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
             .select("lang", "token", "cnt",
                     F.col("rnk").cast("int").alias("rnk"))
             .orderBy("lang", "rnk"))
+
+
+def bigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Conditional bigram surprisal — the 2-gram upgrade of
+    unigram_surprisal on the way toward CCNet's KenLM 5-gram quality
+    score (Wenzek et al. 2019, arXiv:1911.00359), still with no
+    model shipped: each adjacent word pair (w1, w2) is charged the
+    corpus-conditional rarity of w2 given w1,
+
+        wt(w1, w2) = bits(ctx(w1)) - bits(cnt(w1 w2))
+
+    where cnt is the corpus bigram count, ctx(w1) = sum of bigram
+    counts starting at w1 (the context mass), and bits(n) is the
+    libm-free base-2 digit count (`conv(n,10,2)` here,
+    `format('{:b}')` on DuckDB) — an exact-integer floor of
+    -log2 P(w2 | w1) within a bit. Low totals mark boilerplate
+    (every transition common), high totals mark rare-transition
+    soup; per-doc normalization is bigram_bits / n_bigrams
+    downstream.
+
+    Scale (100 TB): the bigram stream is a zero-shuffle HOF
+    projection (curation._grams_expr's zip_with half); corpus bigram
+    counts are one hash-agg with map-side partials; context masses
+    reduce THAT table (bigram-vocabulary-sized, not corpus-sized);
+    the weight join back onto the occurrence stream is keyed on the
+    bigram (AQE splits the hot boilerplate keys), and one per-doc
+    hash-agg finishes. Three keyed shuffles, none quadratic — the
+    same shape as unigram_surprisal one order up.
+    """
+    ws = "filter(split(text, ' '), x -> x <> '')"
+    bigs = F.expr(
+        f"zip_with(slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
+        f" slice({ws}, 2, greatest(size({ws}) - 1, 0)),"
+        f" (a, b) -> concat(a, ' ', b))")
+    occ = documents.select("doc_id", F.explode(bigs).alias("bigram"))
+    cnt = occ.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    ctx = (cnt.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+           .groupBy("w1").agg(F.sum("cnt").alias("ctx")))
+    bits = lambda c: F.length(F.conv(c, 10, 2))  # noqa: E731
+    wt = (cnt.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+          .join(ctx, "w1")
+          .select("bigram", (bits(F.col("ctx"))
+                             - bits(F.col("cnt"))).alias("wt")))
+    return (occ.join(wt, "bigram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("wt").cast("long").alias("bigram_bits"))
+            .select("doc_id", F.col("n_bigrams").cast("long")
+                    .alias("n_bigrams"), "bigram_bits")
+            .orderBy("doc_id"))

@@ -339,3 +339,19 @@ def test_top_terms_rank_and_ties(spark):
     # en counts: a=3, b=3, c=3 -> tie broken by token asc: a then b
     assert en == [("a", 3, 1), ("b", 3, 2)]
     assert fr == [("x", 1, 1), ("y", 1, 2)]
+
+
+def test_bigram_surprisal_boilerplate_scores_low(spark):
+    # docs 0-3 repeat the same transition (a->b) so its conditional
+    # count is high -> low bits; doc 9's transitions are unique ->
+    # the context mass all sits on other continuations, high bits.
+    from larbin_spark.pipeline.textstats import bigram_surprisal
+    rows = [(i, "a b a b a b", "en") for i in range(4)]
+    rows.append((9, "a x a y a z", "en"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    per_big_0 = out[0]["bigram_bits"] / out[0]["n_bigrams"]
+    per_big_9 = out[9]["bigram_bits"] / out[9]["n_bigrams"]
+    assert per_big_9 > per_big_0
+    assert out[0]["n_bigrams"] == 5

@@ -264,3 +264,52 @@ def test_pii_regex_cross_engine_fuzz(spark):
                    '{pats["phone"]}', '<PHONE>', 'g')
         FROM t""").fetchall()}
     assert got == want
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # target slice = lang 'en'. doc 10 repeats the en vocabulary, so
+    # its buckets are dense in the target distribution; doc 11 uses
+    # vocabulary only it (a 'de' doc) contains, so its buckets have
+    # ct = 0 and every gram is charged the full raw penalty. The
+    # en-like doc must outscore the off-target doc per gram.
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en"),
+        (1, "alpha beta gamma delta", "en"),
+        (10, "alpha beta gamma alpha", "de"),
+        (11, "zeta eta theta iota", "de"),
+    ]
+    out = {r["doc_id"]: r for r in
+           curation.dsir_weights(_docs(spark, rows), 1024, "en").collect()}
+    per_gram_10 = out[10]["dsir_bits"] / out[10]["n_grams"]
+    per_gram_11 = out[11]["dsir_bits"] / out[11]["n_grams"]
+    assert per_gram_10 > per_gram_11
+    # n_grams = unigrams + adjacent bigrams
+    assert out[0]["n_grams"] == 5 + 4
+
+
+def test_dsir_weights_empty_target_is_defined(spark):
+    # no doc carries the target lang: ct = 0 everywhere, tot_t = 0 —
+    # bits(0) = 1 on both engines, so the score is defined (all-raw
+    # penalty), not a crash or NULL
+    rows = [(0, "a b c", "de"), (1, "c d", "fr")]
+    out = curation.dsir_weights(_docs(spark, rows), 64, "en").collect()
+    assert len(out) == 2
+    assert all(r["dsir_bits"] is not None for r in out)
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    # lang 'big' has 100x the token mass of 'small'; sqrt weighting
+    # must give 'small' MORE than its proportional share of the
+    # budget and 'big' less.
+    rows = ([(i, " ".join(["w"] * 400), "big") for i in range(100)]
+            + [(1000, " ".join(["w"] * 400), "small")])
+    out = {r["lang"]: r for r in
+           curation.temperature_mix(_docs(spark, rows), 110_000).collect()}
+    assert out["big"]["n_tokens"] == 100 * out["small"]["n_tokens"]
+    prop_small = 110_000 * 1 / 101          # proportional share
+    assert out["small"]["alloc_tokens"] > prop_small
+    assert (out["big"]["alloc_tokens"]
+            < 110_000 * 100 / 101)
+    # integer construction: weight = floor(sqrt(mass)), exact
+    assert out["big"]["weight"] == 200     # sqrt(40000)
+    assert out["small"]["weight"] == 20    # sqrt(400)
