@@ -342,17 +342,23 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 
 
 def _grams_expr():
-    """Unigrams + adjacent bigrams of the space-tokenized text as ONE
-    array column — built entirely with JVM higher-order functions, so
-    the gram stream costs zero shuffles and zero Python. Empty tokens
-    are filtered BEFORE adjacency, so bigrams pair the surviving
-    sequence (the oracle's lead()-after-filter does the same)."""
-    ws = "filter(split(text, ' '), x -> x <> '')"
+    """Unigrams + adjacent bigrams of a pre-tokenized `_ws` array
+    column — built entirely with JVM higher-order functions, so the
+    gram stream costs zero shuffles and zero Python. Tokenize with
+    `_ws_expr()` in a SEPARATE select first: empty tokens are
+    filtered BEFORE adjacency (the oracle's lead()-after-filter does
+    the same), and the two-step select keeps the tokenization shared
+    across the five `_ws` references (CollapseProject leaves
+    multi-referenced non-cheap expressions split)."""
     return F.expr(
-        f"concat({ws}, zip_with("
-        f"  slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
-        f"  slice({ws}, 2, greatest(size({ws}) - 1, 0)),"
-        f"  (a, b) -> concat(a, ' ', b)))")
+        "concat(_ws, zip_with("
+        "  slice(_ws, 1, greatest(size(_ws) - 1, 0)),"
+        "  slice(_ws, 2, greatest(size(_ws) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b)))")
+
+
+def _ws_expr():
+    return F.expr("filter(split(text, ' '), x -> x <> '')")
 
 
 def dsir_weights(documents: DataFrame, n_buckets: int = 1024,
@@ -388,8 +394,10 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024,
     one per-doc hash-agg. One corpus-sized shuffle total (the
     per-doc agg), independent of vocabulary size.
     """
-    grams = documents.select(
-        "doc_id", "lang", F.explode(_grams_expr()).alias("gram"))
+    grams = (documents
+             .select("doc_id", "lang", _ws_expr().alias("_ws"))
+             .select("doc_id", "lang",
+                     F.explode(_grams_expr()).alias("gram")))
     b = grams.select(
         "doc_id", "lang",
         (_md5_60(F.col("gram")) % n_buckets).alias("bucket"))

@@ -251,12 +251,14 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
     hash-agg finishes. Three keyed shuffles, none quadratic — the
     same shape as unigram_surprisal one order up.
     """
-    ws = "filter(split(text, ' '), x -> x <> '')"
     bigs = F.expr(
-        f"zip_with(slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
-        f" slice({ws}, 2, greatest(size({ws}) - 1, 0)),"
-        f" (a, b) -> concat(a, ' ', b))")
-    occ = documents.select("doc_id", F.explode(bigs).alias("bigram"))
+        "zip_with(slice(_ws, 1, greatest(size(_ws) - 1, 0)),"
+        " slice(_ws, 2, greatest(size(_ws) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))")
+    occ = (documents
+           .select("doc_id", F.expr(
+               "filter(split(text, ' '), x -> x <> '')").alias("_ws"))
+           .select("doc_id", F.explode(bigs).alias("bigram")))
     cnt = occ.groupBy("bigram").agg(F.count("*").alias("cnt"))
     ctx = (cnt.withColumn("w1", F.split(F.col("bigram"), " ")[0])
            .groupBy("w1").agg(F.sum("cnt").alias("ctx")))
