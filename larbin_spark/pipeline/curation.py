@@ -451,8 +451,15 @@ def temperature_mix(documents: DataFrame,
         F.sum(n_tok).alias("n_tokens"), F.count("*").alias("n_docs"))
     per = per.withColumn(
         "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
-    tot = per.agg(F.sum("weight").alias("tot_w"))
-    return (per.join(F.broadcast(tot))
+    # the weight total comes from an unpartitioned window over the
+    # ALREADY-AGGREGATED per-language frame — bounded by the number
+    # of languages, so the single-partition window is scale-safe and
+    # the corpus is scanned exactly once (an agg-of-agg total would
+    # duplicate the scan subtree: column pruning specializes the two
+    # copies apart and kills exchange reuse)
+    per = per.withColumn("tot_w", F.sum("weight").over(
+        Window.partitionBy()))
+    return (per
             .select("lang",
                     F.col("n_docs").cast("long").alias("n_docs"),
                     F.col("n_tokens").cast("long").alias("n_tokens"),

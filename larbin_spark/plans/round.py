@@ -1254,8 +1254,21 @@ class RoundRunner:
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi
         use_cookies = bool(cfg.use_cookies)
+        # SCALE: prune the span array JVM-side BEFORE it crosses Arrow
+        # into the extract workers. extract_links reads only
+        # anchor/frame/base spans (+ media iff getImage) — plain text
+        # spans, which carry ~all of a page's mass, contribute nothing
+        # (kernels/links.py:111 "kind == text: no link") and base-state
+        # ordering among the kept spans is preserved by filter(). The
+        # Arrow span transfer is the measured one-box residual of the
+        # curated rungs (docs/SCALE.md §6: E:extract 2.1x/4); shipping
+        # only the link-bearing spans cuts it to the outlink mass.
+        link_kinds = ("'anchor','frame','base','media'" if get_image
+                      else "'anchor','frame','base'")
         ex_in = pages.filter(F.col("final_error").isin("success", "err30X")) \
-            .select("fetch_seq", "host", "port", "path", "depth", "spans",
+            .select("fetch_seq", "host", "port", "path", "depth",
+                    F.expr(f"filter(spans, s -> s.kind in ({link_kinds}))")
+                    .alias("spans"),
                     "redirect_to", "cookie", "set_cookie", "tag",
                     (F.col("final_error") == "err30X").alias("redir_row"))
 

@@ -175,6 +175,48 @@ CHECKS = {
          + len(_tree_nodes(p, "SortMergeJoin"))
          + len(_tree_nodes(p, "BroadcastHashJoin")) >= 1),
     ],
+    "text_bigram_surprisal": [
+        ("pure JVM (HOF bigram stream/conv/hash-agg), no Python "
+         "stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-side partial aggregation of bigram counts",
+         lambda p: "partial_count" in p),
+        ("occurrence->weight and count->context joins are keyed, "
+         "never cartesian or nested-loop (no single-row total here)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and len(_tree_nodes(p, "ShuffledHashJoin"))
+         + len(_tree_nodes(p, "SortMergeJoin"))
+         + len(_tree_nodes(p, "BroadcastHashJoin")) >= 2),
+    ],
+    "curation_dsir_weights": [
+        ("pure JVM (HOF gram stream/md5/hash-agg), no Python stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-side partial aggregation of bucket counts",
+         lambda p: "partial_count" in p),
+        ("the n_buckets-row weight table rides a broadcast onto the "
+         "occurrence stream (the corpus side is never the build)",
+         lambda p: any("imp" in b for b in _broadcast_inputs(p))),
+        ("no cartesian; the only nested-loop join is the single-row "
+         "totals broadcast",
+         lambda p: "CartesianProduct" not in p
+         and len(_tree_nodes(p, "BroadcastNestedLoopJoin")) <= 1),
+    ],
+    "curation_temperature_mix": [
+        ("pure JVM, no Python stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("per-language token mass uses map-side partial aggregation",
+         lambda p: "partial_sum" in p),
+        ("single corpus scan",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no cartesian; the only nested-loop join is the single-row "
+         "weight-total broadcast",
+         lambda p: "CartesianProduct" not in p
+         and len(_tree_nodes(p, "BroadcastNestedLoopJoin")) <= 1),
+    ],
     "text_tfidf_keywords": [
         ("pure JVM, no Python stage",
          lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
