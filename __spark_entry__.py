@@ -280,6 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bigram_surprisal(spark, sf):
         return textstats.bigram_surprisal(_t(spark, sf, "documents"))
 
+    def q_corpus_composition(spark, sf):
+        # relational PIVOT with explicit values; the oracle builds
+        # the same crosstab with conditional sums
+        return textstats.corpus_composition(_t(spark, sf, "documents"))
+
     def q_budget_pack(spark, sf):
         return curation.budget_pack(_t(spark, sf, "documents"), 20000)
 
@@ -656,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_dsir_weights": q_dsir,
         "curation_temperature_mix": q_temperature_mix,
         "text_bigram_surprisal": q_bigram_surprisal,
+        "text_corpus_composition": q_corpus_composition,
         "curation_budget_pack": q_budget_pack,
         "curation_pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curate_mix,
@@ -1841,6 +1847,26 @@ SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(wt) AS BIGINT) AS bigram_bits
 FROM occ JOIN wt USING (bigram)
 GROUP BY occ.doc_id ORDER BY occ.doc_id""",
+        # the PIVOT crosstab as conditional sums; missing cells 0
+        "text_corpus_composition": """
+WITH d AS (SELECT source, lang,
+                  len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS nt
+           FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN lang = 'de' THEN nt END), 0)
+            AS BIGINT) AS de_tokens,
+       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN nt END), 0)
+            AS BIGINT) AS en_tokens,
+       CAST(coalesce(sum(CASE WHEN lang = 'es' THEN nt END), 0)
+            AS BIGINT) AS es_tokens,
+       CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN nt END), 0)
+            AS BIGINT) AS fr_tokens,
+       CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN nt END), 0)
+            AS BIGINT) AS zh_tokens
+FROM d GROUP BY source ORDER BY source""",
         # tf x integer idf_bits, top-3 per doc, ties by token asc
         "text_tfidf_keywords": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

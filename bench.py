@@ -41,6 +41,7 @@ HEADLINE = [
     "curation_training_shuffle", "ann_quantize", "graph_pagerank",
     "dedup_semantic", "text_bpe_merges", "dedup_substring",
     "text_unigram_surprisal", "text_tfidf_keywords", "ann_pq_codes",
+    "curation_dsir_weights", "text_bigram_surprisal",
 ]
 
 

@@ -274,3 +274,39 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
             .select("doc_id", F.col("n_bigrams").cast("long")
                     .alias("n_bigrams"), "bigram_bits")
             .orderBy("doc_id"))
+
+
+def corpus_composition(documents: DataFrame,
+                       langs=("de", "en", "es", "fr", "zh")) -> DataFrame:
+    """Corpus composition crosstab: one row per source, one token-mass
+    column per language (`<lang>_tokens`) plus doc and token totals —
+    the mix dashboard a curation run reads before choosing sampling
+    weights (the input temperature_mix consumes, factored by source).
+
+    Spark surface: `groupBy().pivot(values).agg()` — the relational
+    PIVOT. The pivot values are EXPLICIT (the `langs` tuple), never
+    discovered from data: at 100 TB value-discovery is an extra
+    corpus pass, and a fixed column set keeps the schema stable for
+    the contract hash across engines and samples. Languages outside
+    `langs` still count toward `total_tokens` (the column set is a
+    projection, not a filter).
+
+    Scale: one corpus scan, one hash-agg keyed on (source, lang) with
+    map-side partials (pivot compiles to pivot-first aggregation),
+    group space = #sources x #langs. Missing (source, lang) cells are
+    0, not NULL, so downstream arithmetic never NULL-propagates.
+    """
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    d = documents.select("source", "lang", n_tok.alias("_nt"))
+    piv = (d.groupBy("source").pivot("lang", list(langs))
+           .agg(F.sum("_nt"))
+           .select("source", *[F.coalesce(F.col(lg), F.lit(0))
+                               .cast("long").alias(f"{lg}_tokens")
+                               for lg in langs]))
+    totals = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"))
+    return (piv.join(totals, "source")
+            .select("source", "n_docs", "total_tokens",
+                    *[f"{lg}_tokens" for lg in langs])
+            .orderBy("source"))

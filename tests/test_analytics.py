@@ -355,3 +355,20 @@ def test_bigram_surprisal_boilerplate_scores_low(spark):
     per_big_9 = out[9]["bigram_bits"] / out[9]["n_bigrams"]
     assert per_big_9 > per_big_0
     assert out[0]["n_bigrams"] == 5
+
+
+def test_corpus_composition_projects_not_filters(spark):
+    # a language OUTSIDE the pivot column set still counts toward
+    # total_tokens; its own column simply doesn't exist. Missing
+    # cells are 0, never NULL.
+    from larbin_spark.pipeline.textstats import corpus_composition
+    rows = [(0, "a b c", "en", "s0"), (1, "d e", "xx", "s0"),
+            (2, "f", "de", "s1")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in corpus_composition(df).collect()}
+    assert out["s0"]["total_tokens"] == 5      # includes the 'xx' doc
+    assert out["s0"]["en_tokens"] == 3
+    assert out["s0"]["de_tokens"] == 0         # 0, not NULL
+    assert out["s1"]["de_tokens"] == 1
+    assert "xx_tokens" not in out["s0"].asDict()

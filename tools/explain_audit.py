@@ -204,6 +204,16 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and len(_tree_nodes(p, "BroadcastNestedLoopJoin")) <= 1),
     ],
+    "text_corpus_composition": [
+        ("pure JVM pivot aggregation, no Python stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("pivot compiles to hash aggregation with map-side partials",
+         lambda p: "partial_" in p and "HashAggregate" in p),
+        ("pivot values are explicit: no value-discovery pass — at "
+         "most the two aggregation branches scan the corpus",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+    ],
     "curation_temperature_mix": [
         ("pure JVM, no Python stage",
          lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
