@@ -679,6 +679,11 @@ CRAWL_CHECKS = {
          "BroadcastExchange mean an explicit broadcast hint "
          "regressed (VERDICT r3 #3)",
          lambda p: _no_slot_broadcast(p)),
+        ("span array pruned JVM-side before the Arrow transfer: "
+         "only link-bearing kinds (anchor/frame/base[/media]) cross "
+         "into the extract workers — text spans, ~all the page "
+         "mass, never do (docs/SCALE.md §5)",
+         lambda p: "filter(spans" in p and "anchor" in p),
     ],
     "E_curation": [
         # inline curation (r4): five signatures ride the phase-E
