@@ -1248,8 +1248,20 @@ class RoundRunner:
                           for n in CURATION_SIG_NAMES
                           if n != "simhash"],
                         spans_text_expr("spans").alias("_ctext")))
-            curation_new = _lc(self._cap("E_curation", cur_base.mapInPandas(
-                curation_finalize_fn(), CURATION_SCHEMA)), self.width)
+            # materialize on a driver thread, OVERLAPPED with the
+            # link/gate chain below: curation_new and the links
+            # checkpoint both read only already-materialized frames
+            # (pages_ck + the broadcast dup verdicts), so their eager
+            # actions are independent — running them serially leaves
+            # the cluster idle in each one's scheduling gaps (VERDICT
+            # r3 #5 span cut, same pattern as the n_success count).
+            # The future resolves right after the links checkpoint.
+            _cur_ex = ThreadPoolExecutor(max_workers=1)
+            _f_curation = _cur_ex.submit(
+                lambda: _lc(self._cap(
+                    "E_curation", cur_base.mapInPandas(
+                        curation_finalize_fn(), CURATION_SCHEMA)),
+                    self.width))
 
         # ---- link extraction (mapInPandas over spans, O-12) ----
         get_image, get_cgi = cfg.get_image, cfg.get_cgi
@@ -1383,6 +1395,9 @@ class RoundRunner:
             "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
             "l_path", "l_depth", "is_redir", "parent_host",
             "l_cookie", "l_tag", "gate_err")), self.width)
+        if curation_new is None and self.cfg.curate:
+            curation_new = _f_curation.result()
+            _cur_ex.shutdown()
         mark("E:extract")
 
         # ---- check(): seen testSet in deterministic order (O-6) ----
