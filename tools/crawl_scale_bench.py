@@ -29,7 +29,12 @@ therefore saturates low (~0.26) instead of climbing to 0.8; on the
 CURATED rungs (real per-page work) it climbs the W/S curve —
 0.49 / 0.70 at curated / curated_big after the late-r4 payload
 rewrite + extract span-prune held S ~flat across a 5x volume
-range — and the curated_huge rung measures where it lands next. The
+range — and then BENDS DOWN at curated_huge (0.65 at ~660k
+pages/drain): the fitted S jumps to ~288 s there because the box's
+one disk and page cache carry 2x curated_big's snapshot/shuffle
+bytes. The one-box envelope peaks at ~0.70; the volume-dependent S
+is exactly the shared-hardware term a real cluster divides by
+machines. The
 artifact's saturation_analysis states this and why it does not cap
 a real cluster: the residual's scan/shuffle/Arrow components are
 per-partition work keyed on bucket/slot_id (plan-audited) that
