@@ -313,3 +313,38 @@ def test_temperature_mix_upsamples_low_resource(spark):
     # integer construction: weight = floor(sqrt(mass)), exact
     assert out["big"]["weight"] == 200     # sqrt(40000)
     assert out["small"]["weight"] == 20    # sqrt(400)
+
+
+def test_gram_stream_matches_python_reference(spark):
+    # property: the zero-shuffle HOF gram construction (unigrams +
+    # adjacent bigrams AFTER empty-token filtering) must equal the
+    # obvious Python construction for awkward token layouts —
+    # leading/trailing/double spaces, single tokens, empty text.
+    texts = ["a b c", "", " ", "x", "  a", "b  ", "a  b", "q w e r",
+             "a a a", " a b ", "  ", "lone"]
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    from pyspark.sql import functions as F
+    out = (spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+           .select("doc_id", curation._ws_expr().alias("_ws"))
+           .select("doc_id", curation._grams_expr().alias("grams"))
+           .collect())
+    got = {r["doc_id"]: list(r["grams"]) for r in out}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w != ""]
+        expect = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        assert got[i] == expect, (t, got[i], expect)
+
+
+def test_temperature_mix_allocation_bounds(spark):
+    # sum of integer allocations never exceeds the budget, and each
+    # allocation is within one truncation step of the real share
+    rows = [(i, " ".join(["w"] * (10 + 37 * (i % 5))),
+             f"l{i % 4}") for i in range(40)]
+    budget = 99_991
+    out = curation.temperature_mix(_docs(spark, rows), budget).collect()
+    total_w = sum(r["weight"] for r in out)
+    assert sum(r["alloc_tokens"] for r in out) <= budget
+    for r in out:
+        exact = r["weight"] * budget / total_w
+        assert exact - 1 < r["alloc_tokens"] <= exact
