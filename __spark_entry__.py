@@ -310,6 +310,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic.semantic_dedup(_t(spark, sf, "embeddings"),
                                        k=8, iters=2, threshold=0.3)
 
+    def q_pq_blocked(spark, sf):
+        # PQ-cell blocking near-dup: same subspace chains as
+        # ann_pq_codes, pairs keyed on the product cell, verified by
+        # the exact round-6 cosine over the e6-integer vectors
+        from larbin_spark.pipeline import semantic
+        return semantic.pq_blocked_neardup(
+            _t(spark, sf, "embeddings"), 2, 4, 2, 0.2)
+
     def q_pq_codes(spark, sf):
         # product quantization over the shared deterministic k-means
         # core: m independent subspace Lloyd runs, codes long-form;
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantize": q_quantize,
         "dedup_semantic": q_semantic,
         "ann_pq_codes": q_pq_codes,
+        "dedup_pq_blocked": q_pq_blocked,
         "curation_prototype_prune": q_prototype,
         "text_bpe_merges": q_bpe,
         "graph_pagerank": q_pagerank,
@@ -800,11 +809,11 @@ def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
     return ",\n".join(["WITH " + _PTS_CTE] + _kmeans_chain(k, iters))
 
 
-def _pq_sql(m: int = 4, k: int = 4, iters: int = 2,
-            dim: int = 64) -> str:
-    """DuckDB re-implementation of semantic.pq_codes: one Lloyd
-    chain per contiguous subvector slice (1-based inclusive list
-    slicing), codes unioned long-form."""
+def _pq_parts(m: int = 4, k: int = 4, iters: int = 2,
+              dim: int = 64) -> tuple:
+    """Shared CTE scaffolding of the PQ oracles: the per-subspace
+    Lloyd chains (1-based inclusive list slicing) plus the long-form
+    code SELECTs."""
     sub = dim // m
     parts = [_PTS_CTE]
     sels = []
@@ -816,9 +825,40 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 2,
         sels.append(f"SELECT vec_id, {j} AS subspace,"
                     f" CAST(cluster AS INTEGER) AS code,"
                     f" cc AS cos_code FROM asg{iters}_s{j}")
+    return parts, sels
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 2,
+            dim: int = 64) -> str:
+    """DuckDB re-implementation of semantic.pq_codes: one Lloyd
+    chain per contiguous subvector slice, codes unioned long-form."""
+    parts, sels = _pq_parts(m, k, iters, dim)
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL\n".join(sels)
             + "\nORDER BY vec_id, subspace")
+
+
+def _pq_neardup_sql(m: int = 4, k: int = 4, iters: int = 2,
+                    dim: int = 64, threshold: float = 0.5) -> str:
+    """DuckDB re-implementation of semantic.pq_blocked_neardup:
+    the same subspace chains -> per-vector cell string (codes joined
+    by subspace order) -> equi-join on the cell, lower-id pairs,
+    exact round-6 cosine over the e6-integerized full vectors."""
+    parts, sels = _pq_parts(m, k, iters, dim)
+    parts.append("codes AS (" + "\nUNION ALL\n".join(sels) + ")")
+    parts.append(
+        "cells AS (SELECT vec_id, string_agg(CAST(code AS VARCHAR),"
+        " ':' ORDER BY subspace) AS cell FROM codes GROUP BY vec_id)")
+    cos = _kmeans_cos_sql("pa.p", "pb.p")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({cos}, 6) AS cos, a.cell
+FROM cells a
+JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN pts pa ON pa.vec_id = a.vec_id
+JOIN pts pb ON pb.vec_id = b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+ORDER BY a_id, b_id""")
 
 
 def _bpe_sql(k_rounds: int = 3) -> str:
@@ -1672,6 +1712,8 @@ FROM m ORDER BY vec_id""",
         # loop iteration-for-iteration (see _semantic_sql)
         "dedup_semantic": _semantic_sql(k=8, iters=2, threshold=0.3),
         "ann_pq_codes": _pq_sql(m=4, k=4, iters=2, dim=64),
+        "dedup_pq_blocked": _pq_neardup_sql(m=2, k=4, iters=2,
+                                            dim=64, threshold=0.2),
         "curation_prototype_prune": _prototype_sql(k=8, iters=2,
                                                    prune_frac=0.3),
         "text_bpe_merges": _bpe_sql(k_rounds=3),

@@ -244,3 +244,49 @@ def prototype_prune(embeddings: DataFrame, k: int = 8, iters: int = 2,
                     (F.col("rnk") > F.floor(
                         F.col("n") * F.lit(prune_frac))).alias("keep"))
             .orderBy("vec_id"))
+
+
+def pq_blocked_neardup(embeddings: DataFrame, m: int = 4, k: int = 4,
+                       iters: int = 2,
+                       threshold: float = 0.5) -> DataFrame:
+    """Quantization-cell blocking for near-duplicate candidates: two
+    vectors are candidates iff their FULL m-subspace PQ code vectors
+    agree (they quantize into the same product cell), and every
+    candidate pair is verified by the exact round-6 cosine — the
+    PQ-as-blocking-key technique an ANN-backed dedup at scale uses
+    between "hash-identical" (too strict) and "LSH band" (tuned
+    bands) candidate generation: the k^m product cells partition the
+    space, so the pair join is keyed on the cell string and the pair
+    space is bounded by cell populations, never all-pairs.
+
+    Returns (a_id, b_id, cos, cell) for verified pairs, a_id < b_id.
+
+    Scale shape: the codes come from the audited PQ dataflow (m
+    broadcast-fold subspace runs); the cell key is a per-vector
+    aggregation (m rows -> 1); the candidate join is an equi-join on
+    the cell; the cosine verification is a per-pair JVM fold over
+    the e6-integerized vectors. Recall is what PQ gives it: coarse
+    cells (small m*log2 k) over-merge and cost verification, fine
+    cells under-merge and miss near-dups — the m/k knobs trade the
+    two, exactly as in the IVF/LSH variants (pipeline/ann.py)."""
+    codes = pq_codes(embeddings, m, k, iters)
+    cells = (codes.groupBy("vec_id")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 F.col("subspace").alias("subspace"),
+                 F.col("code").alias("code")))).alias("sc"))
+             .select("vec_id", F.concat_ws(":", F.transform(
+                 "sc", lambda s: s["code"].cast("string")))
+                 .alias("cell")))
+    side = cells.join(_int_points(embeddings), "vec_id")
+    a = side.select(F.col("vec_id").alias("a_id"),
+                    F.col("p").alias("a_p"), "cell")
+    b = side.select(F.col("vec_id").alias("b_id"),
+                    F.col("p").alias("b_p"),
+                    F.col("cell").alias("b_cell"))
+    return (a.join(b, (F.col("cell") == F.col("b_cell"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .withColumn("cos", F.round(_cos(F.col("a_p"),
+                                            F.col("b_p")), 6))
+            .filter(F.col("cos") >= F.lit(threshold))
+            .select("a_id", "b_id", "cos", "cell")
+            .orderBy("a_id", "b_id"))

@@ -139,3 +139,30 @@ def test_pq_codes_rejects_indivisible_dim(spark):
     import pytest
     with pytest.raises(ValueError):
         pq_codes(_df(spark, [(0, [1.0, 0.0, 0.0])]), m=2)
+
+
+def test_pq_blocked_neardup_blocks_and_verifies(spark):
+    # two near-identical vectors (same cell, cosine ~1) must pair;
+    # an orthogonal one must not, even if it shares a cell with
+    # nothing; pairs are lower-id-first and cosine-verified
+    import math
+    from larbin_spark.pipeline.semantic import pq_blocked_neardup
+    dim = 8
+    base = [1.0, 0.2, -0.3, 0.5, 0.1, -0.2, 0.4, 0.9]
+    near = [v * 1.01 for v in base]
+    orth = [-base[1], base[0], -base[3], base[2],
+            -base[5], base[4], -base[7], base[6]]
+    # (zero vectors are outside the embedding domain — the shared
+    # cosine, like every ann/semantic op, assumes nonzero norms)
+    rows = [(0, base), (1, near), (2, orth), (3, [0.1] * dim)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    out = pq_blocked_neardup(emb, m=2, k=2, iters=1,
+                             threshold=0.9).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+    for r in out:
+        assert r["cos"] >= 0.9
+        assert ":" in r["cell"]  # m=2 -> two codes in the key
+    assert not any(2 in p for p in pairs)

@@ -214,6 +214,19 @@ CHECKS = {
          "most the two aggregation branches scan the corpus",
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
     ],
+    "dedup_pq_blocked": [
+        ("pure JVM (broadcast-fold assignment + cell equi-join), no "
+         "Python stage",
+         lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("the candidate join is keyed on the product cell — never a "
+         "cartesian product (the only nested-loop joins are the "
+         "k-row centroid-array broadcasts of the assignment folds)",
+         lambda p: "CartesianProduct" not in p),
+        ("pair verification happens on the joined rows only: the "
+         "cosine is a per-pair fold — no window anywhere in the plan",
+         lambda p: "windowspecdefinition" not in p),
+    ],
     "curation_temperature_mix": [
         ("pure JVM, no Python stage",
          lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
