@@ -233,6 +233,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "kind", "n_bytes", "digest")
                 .orderBy("media_id"))
 
+    def q_media_dedup(spark, sf):
+        # exact binary dedup needs duplicates: union the fixture
+        # with a re-labeled copy of every 3rd asset, so those
+        # payloads appear twice under different ids (oracle builds
+        # the identical union over the same parquet)
+        from larbin_spark.pipeline import multimodal
+        multimodal.write_media_parquet(_MULTIMODAL_MEDIA_PATH, 64)
+        media = spark.read.parquet(_MULTIMODAL_MEDIA_PATH)
+        dups = (media.filter(
+            F.col("media_id").substr(-1, 1).isin("0", "3", "6", "9"))
+            .withColumn("media_id",
+                        F.concat(F.lit("dup-"), F.col("media_id"))))
+        return multimodal.media_dedup(media.unionByName(dups))
+
     def q_spans_profile(spark, sf):
         # the north-rule input shape (doc_id, spans:array<struct<
         # kind,text,media_ref,offset>>) as a direct contract surface:
@@ -661,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_neardup,
         "crawl_save_layout": q_save_layout,
         "multimodal_features": q_multimodal,
+        "multimodal_media_dedup": q_media_dedup,
         "spans_profile": q_spans_profile,
         "multimodal_pack": q_mm_pack,
         "curation_decontaminate": q_decontaminate,
@@ -1469,6 +1484,24 @@ SELECT media_id, kind,
        md5(lower(hex(payload))) AS digest
 FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}')
 ORDER BY media_id""",
+        # exact binary dedup over the same fixture + the re-labeled
+        # every-3rd copy the Spark side unions in
+        "multimodal_media_dedup": f"""
+WITH src AS (SELECT media_id, kind, payload
+             FROM read_parquet('{_MULTIMODAL_MEDIA_PATH}')),
+aug AS (SELECT media_id, kind, payload FROM src
+        UNION ALL
+        SELECT 'dup-' || media_id, kind, payload FROM src
+        WHERE right(media_id, 1) IN ('0', '3', '6', '9')),
+d AS (SELECT media_id, kind,
+             octet_length(payload) AS n_bytes,
+             md5(lower(hex(payload))) AS digest
+      FROM aug)
+SELECT digest, min(kind) AS kind,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(media_id) AS canonical_id,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM d GROUP BY digest ORDER BY digest""",
         # north-rule input shape: per-doc stats over the interleaved
         # spans array, incl. the order-sensitive sequence fingerprint
         # (list lambdas mirror Spark's higher-order functions 1:1)

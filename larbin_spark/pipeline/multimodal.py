@@ -219,3 +219,31 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 out, columns=["media_id", "kind", "payload", "meta"])
 
     return media.mapInPandas(gen, out_schema)
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media deduplication over the opaque binary payloads:
+    group by the payload digest (md5 over the lowercase-hex
+    encoding, the same VARCHAR-md5-portable construction
+    extract_features uses), keep the lowest media_id as canonical,
+    and report the duplicate count per kept asset — the
+    binary-column analogue of dedup.exact_dedup, e.g. the same
+    banner image embedded by thousands of pages.
+
+    Scale: digesting is a per-row JVM expression (md5/hex — no
+    Python, no decode); the groupBy keys on the 32-hex digest with
+    map-side partials, so the shuffle payload is (digest, id,
+    count) — the binary payloads themselves never move. Returns
+    (digest, kind, n_copies, canonical_id, total_bytes) per distinct
+    payload."""
+    d = media.select(
+        F.col("media_id"), F.col("kind"),
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5(F.encode(F.lower(F.hex("payload")), "utf-8"))
+        .alias("digest"))
+    return (d.groupBy("digest")
+            .agg(F.min("kind").alias("kind"),
+                 F.count("*").cast("long").alias("n_copies"),
+                 F.min("media_id").alias("canonical_id"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"))
+            .orderBy("digest"))

@@ -107,3 +107,17 @@ def test_media_parquet_handoff_without_arrow_config(tmp_path):
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-4000:]
     assert "OK" in out.stdout
+
+
+def test_media_dedup_groups_identical_payloads(spark):
+    from larbin_spark.pipeline.multimodal import media_dedup
+    rows = [("a1", "image", bytearray(b"\x01\x02"), None),
+            ("a2", "image", bytearray(b"\x01\x02"), None),
+            ("b1", "audio", bytearray(b"\x03"), None)]
+    from larbin_spark.pipeline.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["canonical_id"]: r for r in media_dedup(df).collect()}
+    assert out["a1"]["n_copies"] == 2          # a1+a2 share bytes
+    assert out["a1"]["total_bytes"] == 4
+    assert out["b1"]["n_copies"] == 1
+    assert len(out) == 2
