@@ -1206,226 +1206,240 @@ class RoundRunner:
         _nsx = ThreadPoolExecutor(max_workers=1)
         _f_nsuccess = _nsx.submit(
             lambda: pages.filter(F.col("final_error") == "success").count())
+        _bg = [(_nsx, _f_nsuccess)]
+        try:
 
-        docs_out_new = (pages.filter(F.col("final_error") == "success")
-                        .select(F.lit(rnd).alias("round"), "fetch_seq",
-                                "doc_id", "spans", "tag"))
-        curation_new = None
-        if self.cfg.curate:
-            # five signatures are a free column select (computed in
-            # the pages checkpoint above); simhash is appended by the
-            # vectorized Arrow kernel (kernels/vectorized.py
-            # simhash60_batch — factorize + bincount + BLAS, 20x the
-            # expression form) over a re-render of the success rows.
-            # Materialized EAGERLY at compute width: curation_new
-            # feeds the snapshot save, whose small-delta coalesce
-            # would otherwise narrow this mapInPandas to 4 workers
-            # regardless of cluster size.
-            from ..pipeline.rowsigs import (
-                CURATION_SIG_NAMES, curation_finalize_fn,
-                spans_text_expr,
-            )
-            from .state import CURATION_SCHEMA
-            # read the HIT side of the checkpoint directly: misses
-            # are never 'success', so the union/anti-join branch is
-            # dead weight here; the post-dup verdict is applied via
-            # the bounded broadcast dup frame (success rows always
-            # carry a non-null dup_rn — c_bucket is non-null for
-            # every pre-dup 'ok' page)
-            cur_src = pages_ck.filter(F.col("final_error") == "success")
-            if cfg.page_no_duplicate:
-                cur_src = (cur_src.join(
-                    F.broadcast(dup_ck.select("fetch_seq", "dup_rn",
-                                              "dup_seen_hit")),
-                    "fetch_seq", "left")
-                    .filter(~(F.coalesce("dup_seen_hit", F.lit(False))
-                              | (F.coalesce("dup_rn", F.lit(1)) > 1))))
-            cur_base = (
-                cur_src
-                .select(F.lit(rnd).alias("round"), "fetch_seq",
-                        "doc_id",
-                        *[F.col("_cur_" + n).alias(n)
-                          for n in CURATION_SIG_NAMES
-                          if n != "simhash"],
-                        spans_text_expr("spans").alias("_ctext")))
-            # materialize on a driver thread, OVERLAPPED with the
-            # link/gate chain below: curation_new and the links
-            # checkpoint both read only already-materialized frames
-            # (pages_ck + the broadcast dup verdicts), so their eager
-            # actions are independent — running them serially leaves
-            # the cluster idle in each one's scheduling gaps (VERDICT
-            # r3 #5 span cut, same pattern as the n_success count).
-            # The future resolves right after the links checkpoint.
-            _cur_ex = ThreadPoolExecutor(max_workers=1)
-            _f_curation = _cur_ex.submit(
-                lambda: _lc(self._cap(
-                    "E_curation", cur_base.mapInPandas(
-                        curation_finalize_fn(), CURATION_SCHEMA)),
-                    self.width))
+            docs_out_new = (pages.filter(F.col("final_error") == "success")
+                            .select(F.lit(rnd).alias("round"), "fetch_seq",
+                                    "doc_id", "spans", "tag"))
+            curation_new = None
+            if self.cfg.curate:
+                # five signatures are a free column select (computed in
+                # the pages checkpoint above); simhash is appended by the
+                # vectorized Arrow kernel (kernels/vectorized.py
+                # simhash60_batch — factorize + bincount + BLAS, 20x the
+                # expression form) over a re-render of the success rows.
+                # Materialized EAGERLY at compute width: curation_new
+                # feeds the snapshot save, whose small-delta coalesce
+                # would otherwise narrow this mapInPandas to 4 workers
+                # regardless of cluster size.
+                from ..pipeline.rowsigs import (
+                    CURATION_SIG_NAMES, curation_finalize_fn,
+                    spans_text_expr,
+                )
+                from .state import CURATION_SCHEMA
+                # read the HIT side of the checkpoint directly: misses
+                # are never 'success', so the union/anti-join branch is
+                # dead weight here; the post-dup verdict is applied via
+                # the bounded broadcast dup frame (success rows always
+                # carry a non-null dup_rn — c_bucket is non-null for
+                # every pre-dup 'ok' page)
+                cur_src = pages_ck.filter(F.col("final_error") == "success")
+                if cfg.page_no_duplicate:
+                    cur_src = (cur_src.join(
+                        F.broadcast(dup_ck.select("fetch_seq", "dup_rn",
+                                                  "dup_seen_hit")),
+                        "fetch_seq", "left")
+                        .filter(~(F.coalesce("dup_seen_hit", F.lit(False))
+                                  | (F.coalesce("dup_rn", F.lit(1)) > 1))))
+                cur_base = (
+                    cur_src
+                    .select(F.lit(rnd).alias("round"), "fetch_seq",
+                            "doc_id",
+                            *[F.col("_cur_" + n).alias(n)
+                              for n in CURATION_SIG_NAMES
+                              if n != "simhash"],
+                            spans_text_expr("spans").alias("_ctext")))
+                # materialize on a driver thread, OVERLAPPED with the
+                # link/gate chain below: curation_new and the links
+                # checkpoint both read only already-materialized frames
+                # (pages_ck + the broadcast dup verdicts), so their eager
+                # actions are independent — running them serially leaves
+                # the cluster idle in each one's scheduling gaps (VERDICT
+                # r3 #5 span cut, same pattern as the n_success count).
+                # The future resolves right after the links checkpoint.
+                _cur_ex = ThreadPoolExecutor(max_workers=1)
+                _f_curation = _cur_ex.submit(
+                    lambda: _lc(self._cap(
+                        "E_curation", cur_base.mapInPandas(
+                            curation_finalize_fn(), CURATION_SCHEMA)),
+                        self.width))
+                _bg.append((_cur_ex, _f_curation))
 
-        # ---- link extraction (mapInPandas over spans, O-12) ----
-        get_image, get_cgi = cfg.get_image, cfg.get_cgi
-        use_cookies = bool(cfg.use_cookies)
-        # SCALE: prune the span array JVM-side BEFORE it crosses Arrow
-        # into the extract workers. extract_links reads only
-        # anchor/frame/base spans (+ media iff getImage) — plain text
-        # spans, which carry ~all of a page's mass, contribute nothing
-        # (kernels/links.py:111 "kind == text: no link") and base-state
-        # ordering among the kept spans is preserved by filter(). The
-        # Arrow span transfer is the measured one-box residual of the
-        # curated rungs (docs/SCALE.md §6: E:extract 2.1x/4); shipping
-        # only the link-bearing spans cuts it to the outlink mass.
-        link_kinds = ("'anchor','frame','base','media'" if get_image
-                      else "'anchor','frame','base'")
-        ex_in = pages.filter(F.col("final_error").isin("success", "err30X")) \
-            .select("fetch_seq", "host", "port", "path", "depth",
-                    F.expr(f"filter(spans, s -> s.kind in ({link_kinds}))")
-                    .alias("spans"),
-                    "redirect_to", "cookie", "set_cookie", "tag",
-                    (F.col("final_error") == "err30X").alias("redir_row"))
+            # ---- link extraction (mapInPandas over spans, O-12) ----
+            get_image, get_cgi = cfg.get_image, cfg.get_cgi
+            use_cookies = bool(cfg.use_cookies)
+            # SCALE: prune the span array JVM-side BEFORE it crosses Arrow
+            # into the extract workers. extract_links reads only
+            # anchor/frame/base spans (+ media iff getImage) — plain text
+            # spans, which carry ~all of a page's mass, contribute nothing
+            # (kernels/links.py:111 "kind == text: no link") and base-state
+            # ordering among the kept spans is preserved by filter(). The
+            # Arrow span transfer is the measured one-box residual of the
+            # curated rungs (docs/SCALE.md §6: E:extract 2.1x/4); shipping
+            # only the link-bearing spans cuts it to the outlink mass.
+            link_kinds = ("'anchor','frame','base','media'" if get_image
+                          else "'anchor','frame','base'")
+            ex_in = pages.filter(F.col("final_error").isin("success", "err30X")) \
+                .select("fetch_seq", "host", "port", "path", "depth",
+                        F.expr(f"filter(spans, s -> s.kind in ({link_kinds}))")
+                        .alias("spans"),
+                        "redirect_to", "cookie", "set_cookie", "tag",
+                        (F.col("final_error") == "err30X").alias("redir_row"))
 
-        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import os as _os, sys as _sys, time as _time
-            _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_E")
-            _te0, _np = _time.time(), 0
-            from ..kernels.urlnorm import merge_cookie
-            cols = [f.name for f in LINKS_SCHEMA]
-            for pdf in batches:
-                out = []
-                for row in pdf.itertuples(index=False):
-                    page = ParsedUrl(row.host, int(row.port), row.path,
-                                     int(row.depth))
-                    if row.redir_row:
-                        # 30X headers don't capture cookies
-                        # (addCookie only runs in parseHeader)
-                        pc = row.cookie if use_cookies else None
-                        cleaned = clean_redirect_text(
-                            row.redirect_to or "", get_cgi)
-                        u = (parse_url(cleaned, page.depth, give_base(page))
-                             if cleaned else None)
-                        if u is not None:
-                            lc = pc if (use_cookies
-                                        and u.host == row.host) else None
-                            # redirects inherit the page tag
-                            # (file.cxx:551-553)
-                            out.append((row.fetch_seq, 0, u.url, u.host,
-                                        u.port, u.path, u.depth, True,
-                                        row.host, lc, int(row.tag)))
-                    else:
-                        pc = (merge_cookie(row.cookie, row.set_cookie)
-                              if use_cookies else None)
-                        tup = [(d["kind"], d["text"], d["media_ref"],
-                                d["offset"]) for d in row.spans]
-                        for i, u in enumerate(extract_links(
-                                tup, page, get_image, get_cgi)):
-                            lc = pc if (use_cookies
-                                        and u.host == row.host) else None
-                            # extracted links get the ctor default
-                            # tag 0 (url.cxx:185-187)
-                            out.append((row.fetch_seq, i, u.url, u.host,
-                                        u.port, u.path, u.depth, False,
-                                        row.host, lc, 0))
-                _np += len(pdf)
-                yield pd.DataFrame(out, columns=cols)
-            if _dbg:
-                print(f"[extract-part] {_time.time() - _te0:.2f}s "
-                      f"{_np} pages", file=_sys.stderr, flush=True)
+            def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import os as _os, sys as _sys, time as _time
+                _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_E")
+                _te0, _np = _time.time(), 0
+                from ..kernels.urlnorm import merge_cookie
+                cols = [f.name for f in LINKS_SCHEMA]
+                for pdf in batches:
+                    out = []
+                    for row in pdf.itertuples(index=False):
+                        page = ParsedUrl(row.host, int(row.port), row.path,
+                                         int(row.depth))
+                        if row.redir_row:
+                            # 30X headers don't capture cookies
+                            # (addCookie only runs in parseHeader)
+                            pc = row.cookie if use_cookies else None
+                            cleaned = clean_redirect_text(
+                                row.redirect_to or "", get_cgi)
+                            u = (parse_url(cleaned, page.depth, give_base(page))
+                                 if cleaned else None)
+                            if u is not None:
+                                lc = pc if (use_cookies
+                                            and u.host == row.host) else None
+                                # redirects inherit the page tag
+                                # (file.cxx:551-553)
+                                out.append((row.fetch_seq, 0, u.url, u.host,
+                                            u.port, u.path, u.depth, True,
+                                            row.host, lc, int(row.tag)))
+                        else:
+                            pc = (merge_cookie(row.cookie, row.set_cookie)
+                                  if use_cookies else None)
+                            tup = [(d["kind"], d["text"], d["media_ref"],
+                                    d["offset"]) for d in row.spans]
+                            for i, u in enumerate(extract_links(
+                                    tup, page, get_image, get_cgi)):
+                                lc = pc if (use_cookies
+                                            and u.host == row.host) else None
+                                # extracted links get the ctor default
+                                # tag 0 (url.cxx:185-187)
+                                out.append((row.fetch_seq, i, u.url, u.host,
+                                            u.port, u.path, u.depth, False,
+                                            row.host, lc, 0))
+                    _np += len(pdf)
+                    yield pd.DataFrame(out, columns=cols)
+                if _dbg:
+                    print(f"[extract-part] {_time.time() - _te0:.2f}s "
+                          f"{_np} pages", file=_sys.stderr, flush=True)
 
-        links = ex_in.mapInPandas(extract, LINKS_SCHEMA)
+            links = ex_in.mapInPandas(extract, LINKS_SCHEMA)
 
-        # ---- manageUrl gates (file.cxx:329-357) ----
-        domains_csv = "|".join(cfg.domains) if cfg.domains else ""
-        exts_csv = "|".join(cfg.forbidden_extensions)
-        links = links.filter(filter1_udf(
-            "l_host", "l_path", F.lit(domains_csv), F.lit(exts_csv)))
-        links = links.filter(
-            F.lit(bool(cfg.external_links)) | F.col("is_redir")
-            | (F.col("l_host") == F.col("parent_host")))
+            # ---- manageUrl gates (file.cxx:329-357) ----
+            domains_csv = "|".join(cfg.domains) if cfg.domains else ""
+            exts_csv = "|".join(cfg.forbidden_extensions)
+            links = links.filter(filter1_udf(
+                "l_host", "l_path", F.lit(domains_csv), F.lit(exts_csv)))
+            links = links.filter(
+                F.lit(bool(cfg.external_links)) | F.col("is_redir")
+                | (F.col("l_host") == F.col("parent_host")))
 
-        # ---- initOK gates (url.cxx:343-391) ----
-        cross = F.col("l_host") != F.col("parent_host")
-        err_col = F.lit(None).cast("string")
-        if cfg.lock_site:
-            err_col = F.when(cross, "outSite").otherwise(err_col)
-        if cfg.depth_by_site:
+            # ---- initOK gates (url.cxx:343-391) ----
+            cross = F.col("l_host") != F.col("parent_host")
+            err_col = F.lit(None).cast("string")
+            if cfg.lock_site:
+                err_col = F.when(cross, "outSite").otherwise(err_col)
+            if cfg.depth_by_site:
+                links = links.withColumn(
+                    "l_depth", F.when(cross, cfg.depth_in_site)
+                    .otherwise(F.col("l_depth")))
+            links = links.withColumn("gate_err", err_col)
             links = links.withColumn(
-                "l_depth", F.when(cross, cfg.depth_in_site)
-                .otherwise(F.col("l_depth")))
-        links = links.withColumn("gate_err", err_col)
-        links = links.withColumn(
-            "gate_err", F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
-            .when(F.col("l_depth") < 0, "tooDeep"))
+                "gate_err", F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
+                .when(F.col("l_depth") < 0, "tooDeep"))
 
-        links = links.withColumn(
-            "l_slot_id",
-            site_hash_udf("l_host", F.lit(cfg.named_site_list_size)))
-        slots_now = self._slots_for_fastfail
-        # SCALE: never FORCE-broadcast the slot table onto the link
-        # stream — at the widened ~10^8-slot space that is a ~10 GB
-        # exchange per round. Unhinted, the planner broadcasts only
-        # when the actual (checkpointed) slot table is small; at a
-        # config-widened slot space we hint shuffle-hash so the
-        # unbounded link side is hash-joined on l_slot_id, never
-        # sorted and never the build for a forced broadcast.
-        if cfg.named_site_list_size > (1 << 22):
-            slots_now = slots_now.hint("shuffle_hash")
-        links = links.join(slots_now, "l_slot_id", "left")
-        ff = ((F.col("ff_name") == F.col("l_host"))
-              & (F.col("ff_port") == F.col("l_port")))
-        links = links.withColumn(
-            "gate_err",
-            F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
-            .when(ff & (F.col("ff_state") == slot_logic.ERROR_DNS), "fastNoDns")
-            .when(ff & (F.col("ff_state") == slot_logic.NOCONN_DNS), "fastNoConn")
-            .when(ff & (F.col("ff_state") == slot_logic.DONE_DNS)
-                  & ~robots_allowed_udf("l_path", F.col("ff_forbidden"),
-                                        F.lit(bool(cfg.ignore_robots))),
-                  "fastRobots"))
+            links = links.withColumn(
+                "l_slot_id",
+                site_hash_udf("l_host", F.lit(cfg.named_site_list_size)))
+            slots_now = self._slots_for_fastfail
+            # SCALE: never FORCE-broadcast the slot table onto the link
+            # stream — at the widened ~10^8-slot space that is a ~10 GB
+            # exchange per round. Unhinted, the planner broadcasts only
+            # when the actual (checkpointed) slot table is small; at a
+            # config-widened slot space we hint shuffle-hash so the
+            # unbounded link side is hash-joined on l_slot_id, never
+            # sorted and never the build for a forced broadcast.
+            if cfg.named_site_list_size > (1 << 22):
+                slots_now = slots_now.hint("shuffle_hash")
+            links = links.join(slots_now, "l_slot_id", "left")
+            ff = ((F.col("ff_name") == F.col("l_host"))
+                  & (F.col("ff_port") == F.col("l_port")))
+            links = links.withColumn(
+                "gate_err",
+                F.when(F.col("gate_err").isNotNull(), F.col("gate_err"))
+                .when(ff & (F.col("ff_state") == slot_logic.ERROR_DNS), "fastNoDns")
+                .when(ff & (F.col("ff_state") == slot_logic.NOCONN_DNS), "fastNoConn")
+                .when(ff & (F.col("ff_state") == slot_logic.DONE_DNS)
+                      & ~robots_allowed_udf("l_path", F.col("ff_forbidden"),
+                                            F.lit(bool(cfg.ignore_robots))),
+                      "fastRobots"))
 
-        # checkpoint the gated link stream ONCE (all rows, slim
-        # columns, gate_err included, ff_* dropped): every downstream
-        # consumer — the survivors dedup chain, the gate-error
-        # metrics, the enqueue rank — reads this frame, so the
-        # extract mapInPandas runs exactly once per round. Before
-        # this, the lazy gate-error branch of metrics_e re-executed
-        # the whole extract chain at every durable metrics
-        # materialization (measured: 2x the extract cost per round
-        # on the heavy-page fixture).
-        links = _lc(self._cap("E_links", links.select(
-            "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
-            "l_path", "l_depth", "is_redir", "parent_host",
-            "l_cookie", "l_tag", "gate_err")), self.width)
-        if curation_new is None and self.cfg.curate:
-            curation_new = _f_curation.result()
-            _cur_ex.shutdown()
-        mark("E:extract")
+            # checkpoint the gated link stream ONCE (all rows, slim
+            # columns, gate_err included, ff_* dropped): every downstream
+            # consumer — the survivors dedup chain, the gate-error
+            # metrics, the enqueue rank — reads this frame, so the
+            # extract mapInPandas runs exactly once per round. Before
+            # this, the lazy gate-error branch of metrics_e re-executed
+            # the whole extract chain at every durable metrics
+            # materialization (measured: 2x the extract cost per round
+            # on the heavy-page fixture).
+            links = _lc(self._cap("E_links", links.select(
+                "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
+                "l_path", "l_depth", "is_redir", "parent_host",
+                "l_cookie", "l_tag", "gate_err")), self.width)
+            if curation_new is None and self.cfg.curate:
+                curation_new = _f_curation.result()
+                _cur_ex.shutdown()
+            mark("E:extract")
 
-        # ---- check(): seen testSet in deterministic order (O-6) ----
-        survivors = links.filter(F.col("gate_err").isNull())
-        survivors = survivors.withColumn(
-            "bucket", url_bucket_udf("l_host", "l_port", "l_path",
-                                     F.lit(cfg.hash_size)))
-        wdedup = Window.partitionBy("bucket").orderBy("fetch_seq", "link_idx")
-        survivors = survivors.withColumn("brn", F.row_number().over(wdedup))
-        if cfg.seen_bitmap_broadcast:
-            # map-side bit test against the broadcast bitmap — same
-            # semantics as the join (membership.py docstring), no
-            # shuffle of the candidate set against seen
-            from ..operators.membership import seen_bitmap, with_bitmap_hit
-            bm = st.bitmaps.get("seen")
-            if bm is None:  # cold state (bootstrap / resume) only
-                bm = seen_bitmap(st.seen, cfg.hash_size)
-            survivors = with_bitmap_hit(survivors, bm, "bucket", "seen_hit")
-        else:
-            seen_hit = st.seen.withColumn("seen_hit", F.lit(True))
-            survivors = (survivors.join(seen_hit, "bucket", "left")
-                         .withColumn("seen_hit",
-                                     F.coalesce("seen_hit", F.lit(False))))
-        survivors = _lc(self._cap("E_survivors", survivors.withColumn(
-            "is_dup", (F.col("brn") > 1) | F.col("seen_hit"))))
-        mark("E:survivors")
-        n_success = _f_nsuccess.result()
-        _nsx.shutdown()
+            # ---- check(): seen testSet in deterministic order (O-6) ----
+            survivors = links.filter(F.col("gate_err").isNull())
+            survivors = survivors.withColumn(
+                "bucket", url_bucket_udf("l_host", "l_port", "l_path",
+                                         F.lit(cfg.hash_size)))
+            wdedup = Window.partitionBy("bucket").orderBy("fetch_seq", "link_idx")
+            survivors = survivors.withColumn("brn", F.row_number().over(wdedup))
+            if cfg.seen_bitmap_broadcast:
+                # map-side bit test against the broadcast bitmap — same
+                # semantics as the join (membership.py docstring), no
+                # shuffle of the candidate set against seen
+                from ..operators.membership import seen_bitmap, with_bitmap_hit
+                bm = st.bitmaps.get("seen")
+                if bm is None:  # cold state (bootstrap / resume) only
+                    bm = seen_bitmap(st.seen, cfg.hash_size)
+                survivors = with_bitmap_hit(survivors, bm, "bucket", "seen_hit")
+            else:
+                seen_hit = st.seen.withColumn("seen_hit", F.lit(True))
+                survivors = (survivors.join(seen_hit, "bucket", "left")
+                             .withColumn("seen_hit",
+                                         F.coalesce("seen_hit", F.lit(False))))
+            survivors = _lc(self._cap("E_survivors", survivors.withColumn(
+                "is_dup", (F.col("brn") > 1) | F.col("seen_hit"))))
+            mark("E:survivors")
+            n_success = _f_nsuccess.result()
+            _nsx.shutdown()
+        except BaseException:
+            # ADVICE r4: if the curation-setup / links / extract chain
+            # raises before the .result() joins, the background Spark
+            # jobs must not keep running on non-daemon worker threads
+            # (they would delay interpreter shutdown). cancel() covers
+            # not-yet-started futures; shutdown(wait=False) detaches
+            # the rest without blocking the raise.
+            for _ex, _fu in _bg:
+                _fu.cancel()
+                _ex.shutdown(wait=False)
+            raise
 
         novel = survivors.filter(~F.col("is_dup"))
 
