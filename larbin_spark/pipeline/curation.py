@@ -387,30 +387,43 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024,
     (Laplace) smoothing — no float ever crosses the contract hash.
 
     Scale (100 TB): gram construction is a zero-shuffle HOF
-    projection; the two count tables are bucket hash-aggs whose
-    results are `n_buckets` rows (broadcast side by construction,
-    like DSIR's own fixed 10^4-bucket hash table); the occurrence
-    stream is joined map-side against that broadcast and reduced by
-    one per-doc hash-agg. One corpus-sized shuffle total (the
-    per-doc agg), independent of vocabulary size.
+    projection; the raw and target bucket counts come out of ONE
+    hash-agg over the gram stream (count(*) + a conditional sum —
+    r5 single-pass rewrite, VERDICT r4 #5; the r4 form ran two
+    bucket aggs and re-scanned the corpus for each), producing
+    `n_buckets` rows (broadcast side by construction, like DSIR's
+    own fixed 10^4-bucket hash table); the gram stream itself is
+    lazily checkpointed so the bucket agg and the per-doc reduction
+    read one materialization — the corpus parquet is scanned ONCE.
+    One corpus-sized shuffle total (the per-doc agg), independent
+    of vocabulary size.
     """
     grams = (documents
              .select("doc_id", "lang", _ws_expr().alias("_ws"))
              .select("doc_id", "lang",
                      F.explode(_grams_expr()).alias("gram")))
+    from ..operators.sequence import PLAN_PROBE
     b = grams.select(
         "doc_id", "lang",
         (_md5_60(F.col("gram")) % n_buckets).alias("bucket"))
-    raw = b.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = (b.filter(F.col("lang") == target_lang)
-           .groupBy("bucket").agg(F.count("*").alias("ct")))
+    # the gram stream feeds the bucket-count build AND the per-doc
+    # reduction: materialize it once (lazy — the broadcast-build job
+    # writes the checkpoint, the main stream reads it back). The
+    # pre-checkpoint stages stay plan-audited via PLAN_PROBE.
+    PLAN_PROBE["dsir:grams"] = b
+    b = b.localCheckpoint(eager=False)
     bits = lambda c: F.length(F.conv(c, 10, 2))  # noqa: E731
-    wt = (raw.join(tgt, "bucket", "left")
-          .select("bucket", "cr",
-                  F.coalesce("ct", F.lit(0)).alias("ct")))
+    wt = (b.groupBy("bucket")
+          .agg(F.count("*").alias("cr"),
+               F.sum(F.when(F.col("lang") == target_lang, 1)
+                     .otherwise(0)).alias("ct")))
     wt = wt.select(
         "bucket", "cr", "ct",
         (bits(F.col("ct") + 1) - bits(F.col("cr") + 1)).alias("imp"))
+    # n_buckets rows; checkpointed lazily so the totals broadcast
+    # reuses the same bucket agg instead of re-running it
+    PLAN_PROBE["dsir:wt"] = wt
+    wt = wt.localCheckpoint(eager=False)
     tots = wt.agg(F.sum("cr").alias("tot_r"), F.sum("ct").alias("tot_t"))
     return (b.join(F.broadcast(wt.select("bucket", "imp")), "bucket")
             .groupBy("doc_id")

@@ -194,8 +194,23 @@ CHECKS = {
         ("pure JVM (HOF gram stream/md5/hash-agg), no Python stage",
          lambda p: "ArrowEvalPython" not in p and "MapInPandas" not in p
          and "BatchEvalPython" not in p),
-        ("map-side partial aggregation of bucket counts",
-         lambda p: "partial_count" in p),
+        ("map-side partial aggregation of bucket counts (audited in "
+         "the pre-checkpoint dsir:wt probe — r5 single-pass form)",
+         lambda p: "partial_count" in _probe_section(p, "dsir:wt")),
+        ("raw + target bucket counts come from ONE hash-agg over the "
+         "gram stream (a conditional sum, not a second agg): exactly "
+         "one Exchange hashpartitioning(bucket...) in the dsir:wt "
+         "probe and no Filter between the checkpoint scan and it",
+         lambda p: _probe_section(p, "dsir:wt").count(
+             "Arguments: hashpartitioning(bucket") == 1
+         and "Filter" not in _probe_section(p, "dsir:wt")),
+        ("the corpus parquet is scanned exactly ONCE, in the "
+         "checkpointed gram stream (dsir:grams probe); the query's "
+         "own plan reads only the checkpoint",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet",
+                                  _probe_section(p, "dsir:grams"))) == 1
+         and len(re.findall(r"\(\d+\) Scan parquet",
+                            _main_section(p))) == 0),
         ("the n_buckets-row weight table rides a broadcast onto the "
          "occurrence stream (the corpus side is never the build)",
          lambda p: any("imp" in b for b in _broadcast_inputs(p))),
@@ -421,8 +436,11 @@ CHECKS = {
          lambda p: _probe_section(p, "kmeans:assigned") != ""
          and _n_hash_exchanges(_probe_section(p, "kmeans:assigned"))
          == 0),
-        ("all m subspace runs union in one plan",
-         lambda p: "Union" in _main_section(p)),
+        ("long-form subspace expansion: ONE posexplode Generate "
+         "feeds all m subspaces from a single corpus scan (r5 — no "
+         "per-subspace re-scan, no Union of m serial runs)",
+         lambda p: "posexplode(array" in _main_section(p)
+         and "Union" not in _main_section(p)),
     ],
     "text_bpe_merges": [
         ("pure JVM token folds (no Python stage)",
@@ -746,6 +764,9 @@ PRE_CHECKPOINT_PROBES = {
     "curation_training_shuffle":
         ["global_seq:_shuf_key,doc_id->shuffle_pos"],
     "analytics_quantiles": ["group_cumsum:_g->cum"],
+    # the gram stream and the bucket-count table are lazily
+    # checkpointed (single corpus scan); audit both hidden stages
+    "curation_dsir_weights": ["dsir:grams", "dsir:wt"],
     # the Lloyd loop eager-checkpoints each k-row centroid rebuild
     # and lazily checkpoints the final assignment; audit all of them
     "dedup_semantic": ["kmeans:cent1", "kmeans:cent2",
