@@ -151,7 +151,8 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
                     # the chain-length inspection below reads a
                     # quiescent store and the next save composes its
                     # deltas against a completed predecessor
-                    committer.join()
+                    from .round import _act
+                    _act("F:committer_join", committer.join)
                     if (rnd - last_reload >= RELOAD_ROUNDS
                             or _compaction_due(store)):
                         # synchronous boundary: a compaction rewrites
@@ -252,9 +253,11 @@ def _commit(spark: SparkSession, st: CrawlState, store: SnapshotStore,
     (plans/round.py phase F). The bitmap cache is exactly the
     seen/dup_seen content of the snapshot just committed, so it
     survives the reload (a fresh resume starts cold and rebuilds)."""
-    st.save(store, rnd)
+    from .round import _act
+    _act("F:commit_sync_save", lambda: st.save(store, rnd))
     bitmaps = st.bitmaps
-    st = CrawlState.load(spark, store, rnd)
+    st = _act("F:commit_reload",
+              lambda: CrawlState.load(spark, store, rnd))
     st.bitmaps = bitmaps
     store.prune(keep_last=keep_snapshots)
     return st

@@ -147,6 +147,28 @@ def _slot_spans(ids):
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+# per-eager-action wall-clock attribution (SPARK_GRAFT_PROFILE):
+# label -> [seconds per call]. The per-round driver span S is the sum
+# of serial eager actions; this map shows WHICH action carries it and
+# how each scales with volume (VERDICT r4 #2 — the curated_huge span
+# growth has to be attributable, not guessed). run_crawl.py publishes
+# the aggregate in its result JSON when profiling is on.
+ACTION_PROF: Dict[str, list] = {}
+
+
+def _act(label: str, thunk):
+    """Run one eager driver action, timing it under SPARK_GRAFT_PROFILE
+    (zero overhead otherwise)."""
+    import os as _o
+    if not _o.environ.get("SPARK_GRAFT_PROFILE"):
+        return thunk()
+    import time as _t
+    t0 = _t.time()
+    r = thunk()
+    ACTION_PROF.setdefault(label, []).append(round(_t.time() - t0, 3))
+    return r
+
+
 def _lc(df: DataFrame, parts: int = _STATE_PARTITIONS) -> DataFrame:
     """Materialize + truncate lineage (in-memory commit; durable
     commits happen at the snapshot cadence).
@@ -441,7 +463,7 @@ class RoundRunner:
         # the slot-reduction semi-join and the routing join below, and
         # without the checkpoint the TakeOrdered would scan the
         # frontier twice per round
-        take = _lc(self._cap("B_take", take))
+        take = _act("B:take_ck", lambda: _lc(self._cap("B_take", take)))
 
         slots_pref = st.slots.select(
             "slot_id", F.col("name").alias("s_name"),
@@ -502,9 +524,9 @@ class RoundRunner:
             pdf["s_ip_hash"] = pdf["s_ip_hash"].fillna(0).astype("int32")
             return pdf[[f.name for f in ROUTED_SCHEMA]]
 
-        routed = _lc(self._cap(
+        routed = _act("B:routed_ck", lambda: _lc(self._cap(
             "B_routed",
-            _apply_per_slot(take, phase_b, ROUTED_SCHEMA)))
+            _apply_per_slot(take, phase_b, ROUTED_SCHEMA))))
         _mark("B:routed")
 
         # The action-count collect reads only the checkpointed
@@ -624,12 +646,14 @@ class RoundRunner:
                     resolved_c.groupBy("action")
                     .agg(F.count("*").alias("n")).collect()}
 
-        with ThreadPoolExecutor(max_workers=3) as _ex:
-            _f_cstats = _ex.submit(_cstats)
-            _f_slots = _ex.submit(_lc, slots)
-            _f_fifo = _ex.submit(_lc, site_fifo)
-            cstats = _f_cstats.result()
-            slots, site_fifo = _f_slots.result(), _f_fifo.result()
+        def _join_c3():
+            with ThreadPoolExecutor(max_workers=3) as _ex:
+                _f_cstats = _ex.submit(_cstats)
+                _f_slots = _ex.submit(_lc, slots)
+                _f_fifo = _ex.submit(_lc, site_fifo)
+                return (_f_cstats.result(), _f_slots.result(),
+                        _f_fifo.result())
+        cstats, slots, site_fifo = _act("C:slots_fifo_stats", _join_c3)
         n_transfer_c = cstats.get(slot_logic.A_TRANSFER, 0)
         n_forget_c = cstats.get(slot_logic.A_FORGET, 0)
         C["transfer_seq_next"] += n_transfer_c
@@ -675,12 +699,13 @@ class RoundRunner:
             fetched = assign_global_seq(
                 fetched, ["bucket_head", "rn"], "fetch_seq",
                 C["fetch_seq_next"], counts_out=_dcnt)
-        fetched = _lc(self._cap("D_fetched", fetched.select(
-            "url", "host", "port", "path", "depth", "cookie", "tag",
-            "slot_id", "ip_hash", "transfer_seq", "fetch_seq")))
+        fetched = _act("D:fetched_ck", lambda: _lc(self._cap(
+            "D_fetched", fetched.select(
+                "url", "host", "port", "path", "depth", "cookie", "tag",
+                "slot_id", "ip_hash", "transfer_seq", "fetch_seq"))))
         n_fetched = _dcnt.get("total")
         if n_fetched is None:
-            n_fetched = fetched.count()
+            n_fetched = _act("D:count", fetched.count)
         C["fetch_seq_next"] += n_fetched
         C["n_ip_queue"] -= n_fetched
         _mark("D:fetched")
@@ -883,9 +908,10 @@ class RoundRunner:
             pdf["new_ip_hash"] = pd.Series(iph, dtype="int32")
             return pdf[[f.name for f in RESOLVED_SCHEMA]]
 
-        resolved = _lc(_apply_per_slot(scan_in, phase_c_scan,
-                                       RESOLVED_SCHEMA))
-        transfer_base = transfer_base_fn()
+        resolved = _act("C:resolved_ck",
+                        lambda: _lc(_apply_per_slot(scan_in, phase_c_scan,
+                                                    RESOLVED_SCHEMA)))
+        transfer_base = _act("C:bstats_join", transfer_base_fn)
 
         # transfers (ordered after phase-B transfers)
         wtr = Window.orderBy("dns_queue_pos", "fifo_pos")
@@ -1104,7 +1130,8 @@ class RoundRunner:
                            curation_cols(F.col("_ctext")))
                        if n != "simhash"]) \
                 .drop("_ctext")
-        pages = _lc(self._cap("E_pages", pages), self.width)
+        pages = _act("E:pages_ck",
+                     lambda: _lc(self._cap("E_pages", pages), self.width))
         mark("E:pages")
         pages_ck = pages
 
@@ -1160,7 +1187,9 @@ class RoundRunner:
                 dk = dk.join(dup_hit, "c_bucket", "left")
             wdup = Window.partitionBy("c_bucket").orderBy("fetch_seq")
             dk = dk.withColumn("dup_rn", F.row_number().over(wdup))
-            dup_ck = _lc(self._cap("E_dupkeys", dk), self.width)
+            dup_ck = _act("E:dupkeys_ck",
+                          lambda: _lc(self._cap("E_dupkeys", dk),
+                                      self.width))
             mark("E:dup")
             pages = pages.join(
                 F.broadcast(dup_ck.select("fetch_seq", "dup_rn",
@@ -1394,12 +1423,13 @@ class RoundRunner:
             # the whole extract chain at every durable metrics
             # materialization (measured: 2x the extract cost per round
             # on the heavy-page fixture).
-            links = _lc(self._cap("E_links", links.select(
-                "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
-                "l_path", "l_depth", "is_redir", "parent_host",
-                "l_cookie", "l_tag", "gate_err")), self.width)
+            links = _act("E:links_ck", lambda: _lc(self._cap(
+                "E_links", links.select(
+                    "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
+                    "l_path", "l_depth", "is_redir", "parent_host",
+                    "l_cookie", "l_tag", "gate_err")), self.width))
             if curation_new is None and self.cfg.curate:
-                curation_new = _f_curation.result()
+                curation_new = _act("E:curation_join", _f_curation.result)
                 _cur_ex.shutdown()
             mark("E:extract")
 
@@ -1424,10 +1454,11 @@ class RoundRunner:
                 survivors = (survivors.join(seen_hit, "bucket", "left")
                              .withColumn("seen_hit",
                                          F.coalesce("seen_hit", F.lit(False))))
-            survivors = _lc(self._cap("E_survivors", survivors.withColumn(
-                "is_dup", (F.col("brn") > 1) | F.col("seen_hit"))))
+            survivors = _act("E:survivors_ck", lambda: _lc(self._cap(
+                "E_survivors", survivors.withColumn(
+                    "is_dup", (F.col("brn") > 1) | F.col("seen_hit")))))
             mark("E:survivors")
-            n_success = _f_nsuccess.result()
+            n_success = _act("E:nsuccess_join", _f_nsuccess.result)
             _nsx.shutdown()
         except BaseException:
             # ADVICE r4: if the curation-setup / links / extract chain
@@ -1469,10 +1500,13 @@ class RoundRunner:
         # the per-queue stats ride the rank's internal counts job
         # (counts_by) — no separate lstats action over new_rows
         _lcnt: dict = {}
-        new_rows = assign_global_seq(
-            picked, ["fetch_seq", "link_idx"], "qseq", qseq_base,
-            counts_by=["queue"], counts_out=_lcnt)
-        new_rows = _lc(new_rows.select(*QUEUE_SCHEMA.names))
+
+        def _rank_and_ck():
+            nr = assign_global_seq(
+                picked, ["fetch_seq", "link_idx"], "qseq", qseq_base,
+                counts_by=["queue"], counts_out=_lcnt)
+            return _lc(nr.select(*QUEUE_SCHEMA.names))
+        new_rows = _act("E:enqueue_rank", _rank_and_ck)
         mark("E:links")
         lstats = _lcnt["by"]
         n_links_new = _lcnt["total"]

@@ -156,8 +156,20 @@ def main() -> None:
                 st.tables["docs_out"],
                 ["round", "fetch_seq", "doc_id", "spans", "tag"]),
         }
+    action_prof = {}
+    if os.environ.get("SPARK_GRAFT_PROFILE"):
+        # per-eager-action span attribution (plans/round.py ACTION_PROF):
+        # label -> {total seconds, call count, per-call series}. The
+        # per-call series across rounds is what shows an action's time
+        # growing with frontier/page mass (VERDICT r4 #2).
+        from larbin_spark.plans.round import ACTION_PROF
+        action_prof = {
+            "action_prof": {
+                k: {"total": round(sum(v), 2), "n": len(v), "per": v}
+                for k, v in sorted(ACTION_PROF.items())}}
     print(json.dumps({
         **digests,
+        **action_prof,
         "wall_sec": wall,
         "rounds": st.counters["round"],
         "pages_ok": st.counters["pages_ok"],
