@@ -106,20 +106,36 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
     if store is None:
         store = SnapshotStore(tempfile.mkdtemp(prefix="larbin_snap_"))
 
+    committer = _AsyncCommitter() if cfg.async_commit else None
     rnd = 0
     if resume and store.latest() is not None:
         last = store.latest()
         st = CrawlState.load(spark, store, last)
         rnd = st.counters["round"]
-    else:
+    elif committer is None:
         st = CrawlState.empty(spark)
         st = runner.seed(st, seeds)
         st.save(store, 0)  # bootstrap snapshot (before round 0)
         st = CrawlState.load(spark, store, 0)
+    else:
+        # write-behind bootstrap (r5): the bootstrap snapshot's 13
+        # table writes are the session's FIRST jobs — run
+        # synchronously they serialize ~10 s of executor-launch +
+        # first-job latency in front of round 0 at every topology
+        # (pure span, measured by the r5 action attribution). Submit
+        # them to the committer instead: they overlap round 0's
+        # compute and are joined at the first boundary. The state
+        # keeps its in-memory seed plans for round 0 (the parquet
+        # rebase + statistics reset happens at the next synchronous
+        # boundary as usual); resumability is unchanged — a crash
+        # before the save lands just resumes from nothing, exactly
+        # like a crash during the old synchronous bootstrap.
+        st = CrawlState.empty(spark)
+        st = runner.seed(st, seeds)
+        _submit_commit(committer, st, store, 0, keep_snapshots)
 
     committed = rnd
     last_reload = rnd  # the round whose parquet the state plans read
-    committer = _AsyncCommitter() if cfg.async_commit else None
     try:
         while rnd < max_rounds:
             if cfg.max_rounds and rnd >= cfg.max_rounds:

@@ -47,7 +47,7 @@ class SnapshotStore:
         return os.path.join(self.root, f"round={rnd:06d}")
 
     def write_table(self, rnd: int, name: str, df: DataFrame,
-                    parts: int = 4, range_col=None) -> None:
+                    parts: int = None, range_col=None) -> None:
         """Full rewrite of a (mutable) table into this snapshot.
 
         range_col: shard the table by range of that column (or list
@@ -56,9 +56,15 @@ class SnapshotStore:
         membership probes and the frontier's head/watermark filters
         prune to the relevant shards and shard merges are sorted
         merges. This is the seam Iceberg `bucket(col, N)` /
-        sort-order partitioning fills on a real cluster; `parts` is
-        sized per table (thousands for the 10^10-row seen set and
-        frontier, a handful at fixture scale)."""
+        sort-order partitioning fills on a real cluster; `parts`
+        defaults to the cluster's core count (floor 4) so the
+        encode+write work of a commit spreads over every executor —
+        a fixed constant capped the save at 4 concurrent tasks no
+        matter the cluster size (r5 span attribution flagged it); at
+        the 10^10 operating point it is sized per table (thousands
+        for the seen set and frontier)."""
+        if parts is None:
+            parts = max(4, df.sparkSession.sparkContext.defaultParallelism)
         path = os.path.join(self._snap_dir(rnd), name)
         if range_col is not None:
             cols = ([range_col] if isinstance(range_col, str)
@@ -70,7 +76,7 @@ class SnapshotStore:
         out.write.mode("overwrite").parquet(path)
 
     def write_delta(self, rnd: int, name: str, delta: DataFrame,
-                    parts: int = 4, range_col=None) -> None:
+                    parts: int = None, range_col=None) -> None:
         """Append commit for a grow-only table: write ONLY this
         round's delta rows; the snapshot's manifest lists the ancestor
         rounds whose files compose the full table (Iceberg's
