@@ -235,6 +235,9 @@ def assign_group_cumsum(df: DataFrame, group_cols: List[str],
         off = by_group.get(k, 0)
         off_rows.append((int(r["_pid"]),) + k + (off,))
         by_group[k] = off + int(r["_t"])
+    # (unlike assign_global_seq, this stays a second bounded job: the
+    # per-(pid, group) sums feed the carry-in offsets table directly,
+    # and none of its callers sit on the crawl round's critical path)
     grp_fields = [ranked.schema[c] for c in group_cols]
     off_df = spark.createDataFrame(
         off_rows, T.StructType(

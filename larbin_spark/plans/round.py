@@ -78,10 +78,17 @@ RESOLVED_SCHEMA = T.StructType(
         T.StructField("eff_forbidden", T.ArrayType(T.StringType())),
     ])
 
+# SCALE note (r5): no l_url column — the canonical URL string is a
+# pure function of (l_host, l_port, l_path) (ParsedUrl.url,
+# urlnorm.py; reference giveUrl url.cxx:409-426), so carrying it
+# through the extract Arrow transfer, the links checkpoint, the
+# survivors window shuffle and the enqueue range shuffle would
+# roughly double the string mass of every phase-E barrier for zero
+# information. It is re-derived JVM-side (one concat) only where the
+# QUEUE_SCHEMA needs it, after the rank.
 LINKS_SCHEMA = T.StructType([
     T.StructField("fetch_seq", T.LongType()),
     T.StructField("link_idx", T.IntegerType()),
-    T.StructField("l_url", T.StringType()),
     T.StructField("l_host", T.StringType()),
     T.StructField("l_port", T.IntegerType()),
     T.StructField("l_path", T.StringType()),
@@ -1340,7 +1347,7 @@ class RoundRunner:
                                             and u.host == row.host) else None
                                 # redirects inherit the page tag
                                 # (file.cxx:551-553)
-                                out.append((row.fetch_seq, 0, u.url, u.host,
+                                out.append((row.fetch_seq, 0, u.host,
                                             u.port, u.path, u.depth, True,
                                             row.host, lc, int(row.tag)))
                         else:
@@ -1354,7 +1361,7 @@ class RoundRunner:
                                             and u.host == row.host) else None
                                 # extracted links get the ctor default
                                 # tag 0 (url.cxx:185-187)
-                                out.append((row.fetch_seq, i, u.url, u.host,
+                                out.append((row.fetch_seq, i, u.host,
                                             u.port, u.path, u.depth, False,
                                             row.host, lc, 0))
                     _np += len(pdf)
@@ -1423,10 +1430,14 @@ class RoundRunner:
             # the whole extract chain at every durable metrics
             # materialization (measured: 2x the extract cost per round
             # on the heavy-page fixture).
+            # slim checkpoint (r5): is_redir and parent_host are
+            # consumed entirely by the gates above; carrying them into
+            # the checkpoint (and through the survivors window + rank
+            # shuffles downstream) was dead string mass
             links = _act("E:links_ck", lambda: _lc(self._cap(
                 "E_links", links.select(
-                    "fetch_seq", "link_idx", "l_url", "l_host", "l_port",
-                    "l_path", "l_depth", "is_redir", "parent_host",
+                    "fetch_seq", "link_idx", "l_host", "l_port",
+                    "l_path", "l_depth",
                     "l_cookie", "l_tag", "gate_err")), self.width))
             if curation_new is None and self.cfg.curate:
                 curation_new = _act("E:curation_join", _f_curation.result)
@@ -1491,7 +1502,7 @@ class RoundRunner:
         from ..operators.sequence import assign_global_seq
         picked = novel.select(
             "fetch_seq", "link_idx",
-            F.col("l_url").alias("url"), F.col("l_host").alias("host"),
+            F.col("l_host").alias("host"),
             F.col("l_port").alias("port"), F.col("l_path").alias("path"),
             F.col("l_depth").alias("depth"),
             F.col("l_cookie").alias("cookie"),
@@ -1505,6 +1516,15 @@ class RoundRunner:
             nr = assign_global_seq(
                 picked, ["fetch_seq", "link_idx"], "qseq", qseq_base,
                 counts_by=["queue"], counts_out=_lcnt)
+            # re-derive the canonical URL string (LINKS_SCHEMA note)
+            # AFTER the range shuffle + rank, so the string rides no
+            # phase-E barrier twice
+            nr = nr.withColumn(
+                "url", F.concat(
+                    F.lit("http://"), F.col("host"),
+                    F.when(F.col("port") == 80, F.lit("")).otherwise(
+                        F.concat(F.lit(":"), F.col("port").cast("string"))),
+                    F.col("path")))
             return _lc(nr.select(*QUEUE_SCHEMA.names))
         new_rows = _act("E:enqueue_rank", _rank_and_ck)
         mark("E:links")
