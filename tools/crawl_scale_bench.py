@@ -26,15 +26,16 @@ all opened wide) leaves W two orders below the crossover, while the
 volume-dependent residual of sharing ONE machine's memory bus, disk
 and driver lands in the fitted S. On the PLAIN rungs efficiency
 therefore saturates low (~0.26) instead of climbing to 0.8; on the
-CURATED rungs (real per-page work) it climbs the W/S curve —
-0.49 / 0.70 at curated / curated_big after the late-r4 payload
-rewrite + extract span-prune held S ~flat across a 5x volume
-range — and then BENDS DOWN at curated_huge (0.65 at ~660k
-pages/drain): the fitted S jumps to ~288 s there because the box's
-one disk and page cache carry 2x curated_big's snapshot/shuffle
-bytes. The one-box envelope peaks at ~0.70; the volume-dependent S
-is exactly the shared-hardware term a real cluster divides by
-machines. The
+CURATED rungs (real per-page work) it climbs the W/S curve. The r4
+ladder bent DOWN at curated_huge (0.65, fitted S ~288 s); the r5
+per-action attribution (docs/SCALE.md §6b) root-caused that to the
+URL-string survivors shuffle and the 4-task-capped trailing commit
+and fixed both, giving curated 0.54 / curated_big 0.73 /
+curated_huge 0.69 with fitted S 74 / 75 / 180 s — S flat across a
+3x volume range, the huge rung's remaining step being the §6b
+storage-pressure term. The one-box envelope peaks at ~0.73; the
+volume-dependent S is exactly the shared-hardware term a real
+cluster divides by machines. The
 artifact's saturation_analysis states this and why it does not cap
 a real cluster: the residual's scan/shuffle/Arrow components are
 per-partition work keyed on bucket/slot_id (plan-audited) that
@@ -437,18 +438,22 @@ def main() -> None:
             "per-page work (render + five signature expressions + "
             "the vectorized simhash kernel, ~2 core-ms/page AFTER "
             "the r4 kernel rewrite cut simhash itself 20x), and "
-            "efficiency rises exactly as the W/S model predicts: "
-            "after the late-r4 phase-E payload rewrite and the "
-            "extract span-prune removed the two biggest one-box "
-            "data movements, the fitted S holds ~100 s across a 5x "
-            "volume range while W grows with volume — curated 0.49, "
-            "curated_big 0.70 executor-mode, still climbing along "
-            "the fit. What remains in S is the r4 span "
-            "decomposition's residual (docs/SCALE.md §6): the "
-            "eager-action cadence plus the now-outlink-mass-only "
-            "Arrow transfers on ONE machine's memory bus and "
-            "loopback, which more JVMs on the same box cannot "
-            "multiply"),
+            "efficiency rises exactly as the W/S model predicts. "
+            "The r5 per-eager-action attribution (docs/SCALE.md "
+            "§6b) found the two volume-dependent span terms that "
+            "bent the r4 curve back down at curated_huge — the "
+            "survivors window shuffling the full URL string per "
+            "candidate link, and the trailing durable commit "
+            "writing the drain's whole delta through a 4-task cap — "
+            "and r5 removed both (l_url derived after the rank, "
+            "commit writes sized to the cluster, bootstrap "
+            "write-behind, single-job qseq rank): curated 0.49 -> "
+            "0.54, curated_big 0.70 -> 0.73 executor-mode with "
+            "fitted S 98 -> 75 s, digests unchanged. What remains "
+            "in S is the eager-action cadence plus the "
+            "outlink-mass-only Arrow transfers on ONE machine's "
+            "memory bus and loopback, which more JVMs on the same "
+            "box cannot multiply"),
         "why_this_does_not_cap_a_real_cluster": (
             "the residual's scan/shuffle/Arrow components are "
             "per-partition work keyed on bucket/slot_id "
